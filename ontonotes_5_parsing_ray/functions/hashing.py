@@ -1,0 +1,124 @@
+"""Hashing / sketching kernels: shingles, MinHash, SimHash, fingerprints.
+
+Vectorized (numpy) where it pays; all deterministic (fixed-seed permutation
+parameters, no wall clock). These back the near-dedup operators and the
+MinHash/LSH entity-canonicalization blocking stage (SURVEY.md §2.4 J2b,
+§2.7) — sketches are mergeable, so per-batch partials combine in a tiny
+second-stage groupby (see ``stages/dedup.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List, Sequence, Set, Tuple
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def stable_hash64(s: str) -> int:
+    """Deterministic 64-bit hash (Python's builtin hash() is salted per
+    process, which would break cross-worker determinism)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def char_shingles(s: str, k: int = 3) -> Set[str]:
+    """Character k-shingles of a normalized string; whole string if shorter."""
+    if len(s) <= k:
+        return {s} if s else set()
+    return {s[i: i + k] for i in range(len(s) - k + 1)}
+
+
+def word_shingles(tokens: Sequence[str], k: int = 3) -> Set[str]:
+    if len(tokens) <= k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i: i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def jaccard(a: Set[str], b: Set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+class MinHasher:
+    """Fixed-permutation MinHash over string shingle sets.
+
+    ``num_perm`` universal-hash permutations ``(a*x + b) mod p`` with
+    parameters drawn once from a seeded RNG — identical across every worker
+    and process, which is what makes distributed signatures reproducible.
+    """
+
+    def __init__(self, num_perm: int = 64, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        # a < 2^29 and x < 2^32 keep a*x + b < 2^62: no uint64 overflow, so
+        # the (a*x + b) mod p universal-hash family stays exact.
+        self.a = rng.randint(1, 1 << 29, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
+
+    def signature(self, shingles: Iterable[str]) -> np.ndarray:
+        base = np.fromiter(
+            (stable_hash64(s) & _MAX_HASH for s in shingles), dtype=np.uint64
+        )
+        if base.size == 0:
+            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        # (num_perm, n) universal hashes -> row-wise min
+        vals = (np.outer(self.a, base) + self.b[:, None]) % _MERSENNE & _MAX_HASH
+        return vals.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> List[str]:
+        """LSH band keys: hash of each contiguous signature band."""
+        rows = self.num_perm // bands
+        keys = []
+        for band in range(bands):
+            chunk = sig[band * rows: (band + 1) * rows]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            keys.append(f"{band}:{digest}")
+        return keys
+
+
+def simhash64(tokens: Sequence[str]) -> int:
+    """64-bit SimHash over token features (near-dup by Hamming distance)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = stable_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 16, base: int = 257) -> int:
+    """Document fingerprint: min of a polynomial rolling hash over char windows
+    (winnowing-style min-selection, deterministic)."""
+    n = len(text)
+    if n == 0:
+        return 0
+    if n <= window:
+        return stable_hash64(text) & _MAX_HASH
+    mod = _MERSENNE
+    power = pow(base, window - 1, mod)
+    h = 0
+    for ch in text[:window]:
+        h = (h * base + ord(ch)) % mod
+    best = h
+    for i in range(window, n):
+        h = ((h - ord(text[i - window]) * power) * base + ord(text[i])) % mod
+        if h < best:
+            best = h
+    return best & _MAX_HASH
