@@ -1,0 +1,259 @@
+"""The flagship pipeline: transcripts -> knowledge graph (nodes + edges).
+
+Ray-Data-first composition (SURVEY.md §3.4):
+
+    read_parquet (pruned columns)
+      -> map_batches(AnnotateTurns)               [actor pool, Arrow batches]
+      -> groupby(conv_id).map_groups(link_group)  [stable turn order + coref]
+      -> canonicalization (MinHash/LSH + min-label components)
+      -> broadcast canon map -> rewrite triples   [map_batches]
+      -> groupby aggregates -> nodes / edges
+      -> write_parquet partitioned + lineage markers
+
+Scale notes
+-----------
+* The only whole-conversation shuffle is the linking groupby — inherent to
+  coref semantics. Everything upstream is embarrassingly block-parallel.
+* Canonicalization shuffles *distinct surfaces*, not mentions (map-side
+  distinct first), then broadcasts the resulting map back (``ray.put`` once,
+  read per actor) — no second all-to-all over the mention table.
+* Nothing materializes the full input; intermediates that are materialized
+  (canon map, distinct surfaces) are O(|entity vocabulary|), not O(turns).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.canon import DEFAULT_THRESHOLD, canonical_entity_id
+from ..functions.kgrules import normalize_surface
+from ..stages.annotate import AnnotateTurns
+from ..stages.canonicalize import build_canon_map, canon_map_to_dict
+from ..stages.link import link_group
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def read_transcripts(path: str) -> rd.Dataset:
+    """Column-pruned read: ``tool``/``ts`` never leave storage (SURVEY.md
+    'prune at the read')."""
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def annotate(ds: rd.Dataset, concurrency: Optional[int] = None) -> rd.Dataset:
+    return ds.map_batches(
+        AnnotateTurns,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency or 4,
+        num_cpus=1,
+    )
+
+
+def link(annotated: rd.Dataset) -> rd.Dataset:
+    """One grouping pass produces mentions + triples + the error channel."""
+    turns = annotated.select_columns(
+        ["conv_id", "turn_idx", "ok", "record_json", "error"]
+    )
+    return turns.groupby("conv_id").map_groups(
+        link_group, batch_format="pandas"
+    )
+
+
+def split_linked(linked: rd.Dataset):
+    """Vectorized split of the union table into mentions / raw triples."""
+    import pyarrow.compute as pc
+
+    mentions = linked.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "mention")).select(
+            ["conv_id", "turn_idx", "start", "end", "surface",
+             "entity_type", "is_pronoun", "chain_id", "antecedent"]
+        ),
+        batch_format="pyarrow",
+    )
+    triples = linked.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "triple")).select(
+            ["conv_id", "turn_idx", "pred", "subj", "obj",
+             "subj_type", "obj_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return mentions, triples
+
+
+def surfaces_for_canon(mentions: rd.Dataset, triples: rd.Dataset) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    def mention_norms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("is_pronoun")))
+        return pa.table({
+            "norm": pa.array(
+                sorted({normalize_surface(s) for s in t.column("surface").to_pylist()}),
+                pa.string(),
+            )
+        })
+
+    def triple_norms(t: pa.Table) -> pa.Table:
+        norms = {normalize_surface(s) for s in t.column("subj").to_pylist()}
+        norms |= {normalize_surface(o) for o in t.column("obj").to_pylist()}
+        return pa.table({"norm": pa.array(sorted(norms), pa.string())})
+
+    return mentions.map_batches(mention_norms, batch_format="pyarrow").union(
+        triples.map_batches(triple_norms, batch_format="pyarrow")
+    )
+
+
+def canonicalize_triples(
+    triples: rd.Dataset, canon_ref: "ray.ObjectRef"
+) -> rd.Dataset:
+    """Rewrite subj/obj to canonical surfaces + ids via the broadcast map."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        canon: Dict[str, str] = ray.get(canon_ref)
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        subj_canon = [canon.get(normalize_surface(s), normalize_surface(s)) for s in subj]
+        obj_canon = [canon.get(normalize_surface(o), normalize_surface(o)) for o in obj]
+        return (
+            batch
+            .append_column("subj_canon", pa.array(subj_canon, pa.string()))
+            .append_column("obj_canon", pa.array(obj_canon, pa.string()))
+            .append_column("subj_id", pa.array(
+                [canonical_entity_id(c) for c in subj_canon], pa.string()))
+            .append_column("obj_id", pa.array(
+                [canonical_entity_id(c) for c in obj_canon], pa.string()))
+        )
+
+    return triples.map_batches(rewrite, batch_format="pyarrow")
+
+
+def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
+    """Node table via partial aggregation: per-batch partials keyed by
+    canonical surface, then one small groupby-combine (pre-aggregate before
+    the shuffle, SURVEY.md 'push aggregation partial')."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        canon: Dict[str, str] = ray.get(canon_ref)
+        t = batch.filter(pc.invert(batch.column("is_pronoun")))
+        df = t.select(["conv_id", "turn_idx", "surface", "entity_type"]).to_pandas()
+        if not len(df):
+            return pd.DataFrame(columns=[
+                "canonical_surface", "surface", "entity_type", "n",
+                "first_conv_id", "first_turn_idx",
+            ])
+        df["canonical_surface"] = [
+            canon.get(normalize_surface(s), normalize_surface(s))
+            for s in df["surface"]
+        ]
+        grp = df.groupby(
+            ["canonical_surface", "surface", "entity_type"], sort=True
+        ).agg(
+            n=("conv_id", "size"),
+            first_conv_id=("conv_id", "min"),
+        ).reset_index()
+        # first_turn_idx = min turn over rows with the min conv (deterministic)
+        firsts = df.sort_values(["conv_id", "turn_idx"]).groupby(
+            ["canonical_surface", "surface", "entity_type"], sort=True
+        ).head(1)[["canonical_surface", "surface", "entity_type", "conv_id", "turn_idx"]]
+        firsts = firsts.rename(columns={"conv_id": "first_conv_id", "turn_idx": "first_turn_idx"})
+        out = grp.drop(columns=["first_conv_id"]).merge(
+            firsts, on=["canonical_surface", "surface", "entity_type"]
+        )
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        canon_surface = group["canonical_surface"].iloc[0]
+        type_counts = group.groupby("entity_type")["n"].sum()
+        best_type = sorted(type_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        first = group.sort_values(["first_conv_id", "first_turn_idx"]).iloc[0]
+        return pd.DataFrame([{
+            "canonical_id": canonical_entity_id(canon_surface),
+            "canonical_surface": canon_surface,
+            "entity_type": best_type,
+            "surface_forms": json.dumps(sorted(set(group["surface"])), ensure_ascii=False),
+            "n_mentions": int(group["n"].sum()),
+            "first_conv_id": first["first_conv_id"],
+            "first_turn_idx": int(first["first_turn_idx"]),
+        }])
+
+    return mentions.map_batches(partials, batch_format="pyarrow").groupby(
+        "canonical_surface"
+    ).map_groups(combine, batch_format="pandas")
+
+
+def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
+    """Exact-dedup edges: partial per-batch counts then a grouped combine —
+    the D2 analogue (``groupby((subj,pred,obj)).first``) with map-side
+    pre-aggregation."""
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(
+            ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon", "conv_id"]
+        ).to_pandas()
+        if not len(df):
+            return pd.DataFrame(columns=[
+                "subj_id", "pred", "obj_id", "subj_canon", "obj_canon",
+                "n", "first_conv_id",
+            ])
+        return df.groupby(
+            ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"], sort=True
+        ).agg(n=("conv_id", "size"), first_conv_id=("conv_id", "min")).reset_index()
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        row = group.iloc[0]
+        return pd.DataFrame([{
+            "subj_id": row["subj_id"], "pred": row["pred"], "obj_id": row["obj_id"],
+            "subj_canon": row["subj_canon"], "obj_canon": row["obj_canon"],
+            "n_occurrences": int(group["n"].sum()),
+            "first_conv_id": group["first_conv_id"].min(),
+        }])
+
+    return canon_triples.map_batches(partials, batch_format="pyarrow").groupby(
+        ["subj_id", "pred", "obj_id"]
+    ).map_groups(combine, batch_format="pandas")
+
+
+def run_kg_pipeline(
+    transcript_path: str,
+    canon_threshold: float = DEFAULT_THRESHOLD,
+    concurrency: Optional[int] = None,
+) -> Dict[str, rd.Dataset]:
+    """Build the KG in memory; returns the component Datasets.
+
+    The linked union table is materialized once (it is O(mentions+triples),
+    far smaller than the input) so mentions/triples/canon all derive from it
+    without re-running annotation.
+    """
+    ds = read_transcripts(transcript_path)
+    annotated = annotate(ds, concurrency=concurrency)
+    linked = link(annotated).materialize()
+    mentions, triples = split_linked(linked)
+    canon_map = build_canon_map(
+        surfaces_for_canon(mentions, triples), threshold=canon_threshold
+    )
+    canon_dict = canon_map_to_dict(canon_map)
+    canon_ref = ray.put(canon_dict)
+    canon_triples = canonicalize_triples(triples, canon_ref)
+    nodes = build_nodes(mentions, canon_ref)
+    edges = build_edges(canon_triples)
+    errors = linked.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "error")).select(
+            ["conv_id", "turn_idx", "error"]
+        ),
+        batch_format="pyarrow",
+    )
+    return {
+        "mentions": mentions,
+        "triples": canon_triples,
+        "nodes": nodes,
+        "edges": edges,
+        "errors": errors,
+    }

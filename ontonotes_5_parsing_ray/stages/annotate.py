@@ -1,0 +1,92 @@
+"""Per-turn annotation stage (the fused M1-M16 transform).
+
+``ray.data.Dataset.map_batches(AnnotateTurns, batch_format="pyarrow",
+concurrency=N)`` — an actor pool because the stage owns compiled regexes,
+lexicons and the alignment machinery (setup once per actor in ``__init__``,
+work per batch in ``__call__``), the slot where a real parser model would be
+hosted (SURVEY.md §2.2 M3, §7.2).
+
+Input batch:  ``conv_id, turn_idx, role, text`` (Arrow, zero-copy).
+Output batch: input columns + ``ok:bool, error:string, record_json:string``
+— semantic failures are data (the reference's ``(records, err_msg)``
+dead-letter channel, ``ontonotes5_to_json.py:80,106-107``), never exceptions,
+so one malformed turn cannot kill a block at 10^12-turn scale.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List
+
+import pyarrow as pa
+
+from ..functions.record import annotate_turn_text, record_to_long_form
+
+
+class AnnotateTurns:
+    """Actor-pool callable: annotate each turn of an Arrow batch."""
+
+    def __init__(self, simulate_model_tokens_for_tools: bool = True):
+        # Per-actor setup: importing functions.* compiles every regex and
+        # builds the gazetteer/lexicon tables once per worker process.
+        self.tool_subwords = simulate_model_tokens_for_tools
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        roles = batch.column("role").to_pylist()
+        ok: List[bool] = []
+        err: List[str] = []
+        rec_json: List[str] = []
+        for text, role in zip(texts, roles):
+            record, e = annotate_turn_text(
+                text,
+                simulate_model_tokens=(self.tool_subwords and role == "tool"),
+            )
+            if record is None:
+                ok.append(False)
+                err.append(e)
+                rec_json.append("")
+            else:
+                ok.append(True)
+                err.append("")
+                rec_json.append(json.dumps(record, ensure_ascii=False))
+        return (
+            batch
+            .append_column("ok", pa.array(ok, pa.bool_()))
+            .append_column("error", pa.array(err, pa.string()))
+            .append_column("record_json", pa.array(rec_json, pa.string()))
+        )
+
+
+def annotations_long_form(batch: pa.Table) -> pa.Table:
+    """Explode annotated turns to long-form rows
+    ``(conv_id, turn_idx, kind, tag, start, end)``.
+
+    The shuffle-friendly representation (SURVEY.md §1.4): dynamic tag
+    vocabularies stay *data*, so Arrow schemas unify across blocks.
+    """
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    oks = batch.column("ok").to_pylist()
+    recs = batch.column("record_json").to_pylist()
+    out = {"conv_id": [], "turn_idx": [], "kind": [], "tag": [],
+           "start": [], "end": []}
+    for conv_id, turn_idx, ok, rec in zip(conv_ids, turn_idxs, oks, recs):
+        if not ok:
+            continue
+        record = json.loads(rec)
+        for kind, tag, start, end in record_to_long_form(record):
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(turn_idx)
+            out["kind"].append(kind)
+            out["tag"].append(tag)
+            out["start"].append(start)
+            out["end"].append(end)
+    return pa.table({
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "kind": pa.array(out["kind"], pa.string()),
+        "tag": pa.array(out["tag"], pa.string()),
+        "start": pa.array(out["start"], pa.int32()),
+        "end": pa.array(out["end"], pa.int32()),
+    })
