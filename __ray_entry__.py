@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver verifies via ``entry()`` (smoke), ``queries()[name](sf_dir)``
+vs ``oracle_sql()[name]`` (DuckDB, sf=0.01 — row-count + schema +
+order-insensitive value-hash), per SURVEY.md §2's operator inventory.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,198 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derive a transcript view from the sf0.001 documents table,
+    run the per-turn annotation + stable-ordering stages, return the
+    long-form annotation Dataset (conv_id, turn_idx, kind, tag, start, end).
+
+    The full KG build (link -> canonicalize -> nodes/edges) runs in the
+    ``kg_*`` queries over the deterministic synthetic transcripts.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.kg import annotate
+    from ontonotes_5_parsing_ray.pipelines.queries import transcript_ordering
+    from ontonotes_5_parsing_ray.stages.annotate import annotations_long_form
+
+    turns = transcript_ordering(SF_001)
+
+    def add_role(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["role"] = ["user" if i % 2 == 0 else "assistant"
+                        for i in batch["turn_idx"]]
+        return batch
+
+    ds = turns.map_batches(add_role, batch_format="pandas")
+    return annotate(ds).map_batches(annotations_long_form, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ontonotes_5_parsing_ray.pipelines import kg_queries as kq
+    from ontonotes_5_parsing_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (broadcast joins, pre-agg groupbys, top-k)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_top_orders": q.q3_top_orders,
+        "q5_nation_revenue": q.q5_nation_revenue,
+        "top_customers": q.top_customers,
+        # event-stream windows
+        "events_hourly": q.events_hourly,
+        "events_sessions": q.events_sessions,
+        # documents: text analysis + dedup family
+        "docs_exact_dedup": q.docs_exact_dedup,
+        "docs_token_stats": q.docs_token_stats,
+        "docs_lang_counts": q.docs_lang_counts,
+        "docs_langid": q.docs_langid,
+        "docs_fingerprints": q.docs_fingerprints,
+        "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_simhash_pairs": q.docs_simhash_pairs,
+        # embeddings: similarity search
+        "emb_knn_top10": q.emb_knn_top10,
+        "emb_label_stats": q.emb_label_stats,
+        # stable turn ordering (SQL-checkable)
+        "transcript_ordering": q.transcript_ordering,
+        # knowledge-graph pipeline (non-SQL; gated by pytest P/R vs oracle)
+        "kg_triples": kq.kg_triples,
+        "kg_nodes": kq.kg_nodes,
+        "kg_edges": kq.kg_edges,
+        "kg_mentions": kq.kg_mentions,
+        "kg_errors": kq.kg_errors,
+        "kg_annotations": kq.kg_annotations,
+        "kg_entity_freq": kq.kg_entity_freq,
+        "kg_tag_reduce": kq.kg_tag_reduce,
+        # multimodal plumbing (deterministic fake decode)
+        "media_features": kq.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l.l_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_price DESC, c.c_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ep, value
+                FROM events
+            ), g AS (
+                SELECT *, CASE WHEN ep - lag(ep) OVER w > 1800
+                               OR lag(ep) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+            ), s AS (
+                SELECT *, (sum(new_s) OVER (PARTITION BY user_id
+                                            ORDER BY ep, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                          AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   min(ep) AS session_start, max(ep) AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS value_sum
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "docs_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(len(list_filter(
+                             regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x IN ('the','a','an','and','of','to','in','is',
+                                        'it','that','for','on','with','as','was',
+                                        'at','by','be','this','are','or')))
+                         / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1),
+                         6) AS stopword_ratio
+            FROM documents
+        """,
+        "docs_lang_counts": """
+            SELECT lang, count(*) AS n_samples
+            FROM documents GROUP BY lang
+            ORDER BY n_samples DESC, lang
+        """,
+        "emb_knn_top10": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
+        """,
+        "emb_label_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(embedding[1]), 6) AS mean_dim0
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "transcript_ordering": """
+            SELECT source AS conv_id,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                       AS turn_idx,
+                   doc_id, text
+            FROM documents
+        """,
+        # docs_langid / docs_fingerprints / docs_minhash_pairs /
+        # docs_simhash_pairs / kg_* / media_features: heuristic, hash-based or
+        # model-shaped operators with no faithful ANSI-SQL twin -> rows-only
+        # checks; exact correctness covered by tests/ (oracle parity, brute-
+        # force comparisons).
+    }

@@ -1,0 +1,106 @@
+"""KG pipeline queries over the deterministic synthetic transcript table.
+
+The transcript input is synthesized per ``BASELINE.json`` ``input_hint``
+(no external data), sized by the scale factor implied by ``sf_dir`` and
+cached under /tmp. These are the non-SQL-expressible entries in
+``__ray_entry__.queries`` (the driver records rows-only checks); exact
+correctness is gated separately by the pytest P/R >= 0.95 comparison against
+the single-process oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict
+
+import pandas as pd
+import ray.data as rd
+
+from ..sources.transcripts import default_transcripts_dir, generate_transcripts
+from ..stages.annotate import annotations_long_form
+from .kg import annotate, read_transcripts, run_kg_pipeline
+
+_SF_CONVS = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 500}
+
+
+def transcripts_for(sf_dir: str) -> str:
+    """Deterministic transcript parquet sized to the sf tag of ``sf_dir``."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag not in _SF_CONVS:
+        tag = "sf0.01"
+    n_convs = _SF_CONVS[tag]
+    out = default_transcripts_dir(tag)
+    return generate_transcripts(out, n_convs=n_convs, seed=42,
+                                skew_frac=0.02 if n_convs >= 100 else 0.0)
+
+
+_KG_CACHE: Dict[str, dict] = {}
+
+
+def _kg(sf_dir: str) -> dict:
+    """Run (or reuse) the KG pipeline for this sf tag — several queries view
+    one build, like several reports over one materialized graph."""
+    path = transcripts_for(sf_dir)
+    if path not in _KG_CACHE:
+        _KG_CACHE[path] = run_kg_pipeline(path)
+    return _KG_CACHE[path]
+
+
+def kg_triples(sf_dir: str) -> pd.DataFrame:
+    t = _kg(sf_dir)["triples"].to_pandas()
+    return t.sort_values(["conv_id", "turn_idx", "pred", "subj", "obj"]) \
+            .reset_index(drop=True)
+
+
+def kg_nodes(sf_dir: str) -> pd.DataFrame:
+    n = _kg(sf_dir)["nodes"].to_pandas()
+    return n.sort_values("canonical_id").reset_index(drop=True)
+
+
+def kg_edges(sf_dir: str) -> pd.DataFrame:
+    e = _kg(sf_dir)["edges"].to_pandas()
+    return e.sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)
+
+
+def kg_mentions(sf_dir: str) -> pd.DataFrame:
+    m = _kg(sf_dir)["mentions"].to_pandas()
+    return m.sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+
+
+def kg_errors(sf_dir: str) -> pd.DataFrame:
+    e = _kg(sf_dir)["errors"].to_pandas()
+    return e.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def kg_annotations(sf_dir: str) -> rd.Dataset:
+    """Long-form per-turn annotation table over the synthetic transcripts."""
+    ds = annotate(read_transcripts(transcripts_for(sf_dir)))
+    return ds.map_batches(annotations_long_form, batch_format="pyarrow")
+
+
+def kg_entity_freq(sf_dir: str) -> pd.DataFrame:
+    """Entity-type frequency report (A2 analogue) over the annotations."""
+    from .stats import entity_frequencies
+
+    return entity_frequencies(kg_annotations(sf_dir), kind="entities")
+
+
+def kg_tag_reduce(sf_dir: str) -> pd.DataFrame:
+    """Two-pass tag reduction (reduce_entities analogue) summarized as the
+    post-rewrite (kind, tag) span counts."""
+    from .reduce_tags import reduce_tags
+    from .stats import tag_frequencies_by_kind
+
+    reduced = reduce_tags(kg_annotations(sf_dir), max_types=8)
+    return tag_frequencies_by_kind(reduced)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode stage over the deterministic fake media table."""
+    from ..stages.multimodal import decode_media, synthesize_media_table
+
+    media = rd.from_arrow(synthesize_media_table(n=96))
+    out = decode_media(media, mode="fake").to_pandas()
+    out["features"] = out["features"].map(lambda f: list(f))
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -1,0 +1,262 @@
+"""Named query implementations over the testdata tables.
+
+Each function takes ``sf_dir`` (a directory of Parquet tables: region nation
+customer supplier part orders lineitem events documents embeddings) and
+returns a Dataset / DataFrame whose column NAMES match the DuckDB oracle SQL
+in ``__ray_entry__.oracle_sql`` exactly (the driver sorts columns by name
+and value-hashes). Floats are rounded identically on both sides.
+
+Scale discipline per query is noted in its docstring: what is broadcast,
+what shuffles, what stays streaming.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.rounding import round_half_away
+from ..stages.ann import knn_bruteforce, label_centroids
+from ..stages.dedup import exact_dedup, minhash_near_dup_pairs, simhash_near_dup_pairs
+from ..stages.relational import (
+    broadcast_join,
+    preagg_groupby,
+    sessionize_events,
+    topk,
+    windowed_event_counts,
+)
+from ..stages.textstats import TextStats, add_fingerprints, add_langid
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _read_pdf(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).to_pandas()
+
+
+# --------------------------------------------------------------------------
+# Relational
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style pricing summary. Streaming lineitem scan with a
+    per-batch partial aggregate; the final combine handles vocabulary-sized
+    partials (no row-level shuffle)."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def with_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("l_disc_price", disc)
+
+    out = preagg_groupby(
+        li.map_batches(with_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("l_disc_price", "sum"),
+            "n_rows": ("l_quantity", "count"),
+        },
+    )
+    out["avg_qty"] = round_half_away((out["sum_qty"] / out["n_rows"]).to_numpy(), 4)
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[col] = round_half_away(out[col].to_numpy(), 2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Revenue of BUILDING-segment orders: two broadcast joins (customer and
+    orders are the small sides), lineitem streams; top-10 on the driver."""
+    cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = _read_pdf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(
+        li, orders[["o_orderkey"]].rename(columns={"o_orderkey": "l_orderkey"}),
+        on=["l_orderkey"],
+    )
+
+    def revenue_col(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return batch[["l_orderkey", "revenue"]]
+
+    agg = preagg_groupby(
+        joined.map_batches(revenue_col, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": ("revenue", "sum")},
+    )
+    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 2)
+    return topk(agg, ["revenue", "l_orderkey"], [False, True], 10)
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by customer nation: dimension chain region<-nation<-customer
+    prejoined on the driver (tiny), broadcast to the orders->lineitem stream."""
+    nation = _read_pdf(sf_dir, "nation")
+    region = _read_pdf(sf_dir, "region")
+    cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read_pdf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+              .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    orders = orders.merge(dim[["c_custkey", "n_name"]],
+                          left_on="o_custkey", right_on="c_custkey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(
+        li,
+        orders[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"}),
+        on=["l_orderkey"],
+    )
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return batch[["n_name", "revenue"]]
+
+    agg = preagg_groupby(
+        joined.map_batches(rev, batch_format="pandas"),
+        ["n_name"], {"revenue": ("revenue", "sum")},
+    )
+    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 2)
+    return agg.sort_values("n_name").reset_index(drop=True)
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """Top-10 customers by total order price (streaming orders aggregate +
+    broadcast name join)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = preagg_groupby(orders, ["o_custkey"],
+                         {"total_price": ("o_totalprice", "sum")})
+    agg["total_price"] = round_half_away(agg["total_price"].to_numpy(), 2)
+    cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_name"])
+    agg = agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return topk(agg[["c_custkey", "c_name", "total_price"]],
+                ["total_price", "c_custkey"], [False, True], 10)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h windows per event_type (epoch-aligned, partial-merged)."""
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return windowed_event_counts(events, 3600)
+
+
+def events_sessions(sf_dir: str) -> rd.Dataset:
+    """Per-user session windows (gap > 30 min starts a new session)."""
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+    return sessionize_events(events, 1800)
+
+
+# --------------------------------------------------------------------------
+# Documents: text analysis + dedup
+# --------------------------------------------------------------------------
+
+def docs_exact_dedup(sf_dir: str) -> rd.Dataset:
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def docs_token_stats(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = docs.map_batches(
+        TextStats, batch_format="pandas", batch_size=1024, concurrency=2
+    )
+    return stats.select_columns(
+        ["doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "stopword_ratio"]
+    )
+
+
+def docs_lang_counts(sf_dir: str) -> pd.DataFrame:
+    from .stats import language_frequencies
+
+    return language_frequencies(_read(sf_dir, "documents", columns=["lang"]))
+
+
+def docs_langid(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_langid, batch_format="pandas").select_columns(
+        ["doc_id", "detected_lang"]
+    )
+
+
+def docs_fingerprints(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_fingerprints, batch_format="pandas").select_columns(
+        ["doc_id", "text_hash", "fingerprint", "simhash"]
+    )
+
+
+def docs_minhash_pairs(sf_dir: str) -> rd.Dataset:
+    return minhash_near_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.35
+    )
+
+
+def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
+    return simhash_near_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10
+    )
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def emb_knn_top10(sf_dir: str) -> pd.DataFrame:
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce(emb, _query_vector(sf_dir), k=10)
+
+
+def emb_label_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label count + first-dimension centroid component (SQL-checkable
+    projection of the centroid operator)."""
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    cents = label_centroids(emb)
+    cents["mean_dim0"] = [round_half_away(c[0], 6) for c in cents["centroid"]]
+    return cents[["label", "n", "mean_dim0"]]
+
+
+# --------------------------------------------------------------------------
+# Transcript ordering (SQL-checkable stable-ordering stage)
+# --------------------------------------------------------------------------
+
+def transcript_ordering(sf_dir: str) -> rd.Dataset:
+    """Derive a transcript view from documents (conv = source) and enforce
+    stable turn ordering with groupby(conv).map_groups + in-group sort —
+    the K3 invariant with a SQL twin (row_number over partition)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def order_group(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "conv_id": group["source"],
+            "turn_idx": np.arange(len(group), dtype="int64"),
+            "doc_id": group["doc_id"],
+            "text": group["text"],
+        })
+
+    return docs.groupby("source").map_groups(order_group, batch_format="pandas")

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), each batch does one numpy matmul, per-batch top-k
+  partials are combined in a final tiny reduce. Never materializes the
+  corpus; the combine moves only ``batches x k`` rows.
+* :func:`knn_lsh` — the scale path: random-hyperplane buckets prune the
+  corpus to the query's bucket (+ optional multi-probe neighbors), exact
+  rerank inside. Recall < 1 by construction; the brute-force result is the
+  baseline it is measured against in tests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.rounding import round_half_away
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def knn_bruteforce(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact top-k by cosine vs one query vector.
+
+    Returns a DataFrame ``(vec_id, cosine)`` sorted by (-cosine, vec_id) —
+    ties broken by id so results are deterministic and SQL-comparable.
+    """
+    q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        cos = (_unit(vecs) @ qv.T).ravel()
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(round_half_away(cos[order].astype(np.float64), 6)),
+        })
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).to_pandas()  # at most (num_blocks x k) rows — tiny
+    partials = partials.sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).head(k)
+    return partials.reset_index(drop=True)
+
+
+class HyperplaneBuckets:
+    """Actor-pool stage: embedding -> LSH bucket key (seed-fixed planes)."""
+
+    def __init__(self, dim: int, n_planes: int = 10, seed: int = 7):
+        self.planes = np.random.RandomState(seed).randn(n_planes, dim).astype(np.float32)
+
+    def key_of(self, vecs: np.ndarray) -> List[str]:
+        signs = (vecs @ self.planes.T) >= 0
+        return ["".join("1" if b else "0" for b in row) for row in signs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        return batch.append_column(
+            "bucket", pa.array(self.key_of(vecs), pa.string())
+        )
+
+
+def knn_lsh(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 10,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k: prune to the query's hyperplane bucket (plus
+    ``multiprobe`` single-bit-flip neighbor buckets), exact rerank inside.
+
+    At cluster scale the bucket column is precomputed once and the corpus is
+    written partitioned by bucket, so a query touches only its partitions.
+    """
+    query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    dim = query.shape[1]
+    bucketer = HyperplaneBuckets(dim, n_planes, seed)
+    q_key = bucketer.key_of(_unit(query))[0]
+    probe_keys = {q_key}
+    for flip in range(min(multiprobe * n_planes, n_planes)):
+        flipped = list(q_key)
+        flipped[flip] = "0" if q_key[flip] == "1" else "1"
+        probe_keys.add("".join(flipped))
+        if len(probe_keys) > multiprobe + 1:
+            break
+    keys_ref = ray.put(probe_keys)
+    q_ref = ray.put(_unit(query))
+
+    def prune_and_score(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        qv = ray.get(q_ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        bucket = bucketer.key_of(vecs)
+        mask = np.array([b in keys for b in bucket])
+        if not mask.any():
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)[mask]
+        cos = (_unit(vecs[mask]) @ qv.T).ravel()
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(round_half_away(cos[order].astype(np.float64), 6)),
+        })
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        prune_and_score, batch_format="pyarrow"
+    ).to_pandas()
+    return partials.sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+
+
+def label_centroids(embeddings: rd.Dataset) -> pd.DataFrame:
+    """Per-label mean vector via mergeable per-batch partial sums
+    (sum + count per label per batch, combined on the driver — the sketch
+    pattern: the shuffle moves one row per (batch, label))."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist())
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        out_label, out_sum, out_n = [], [], []
+        for lab in np.unique(labels):
+            mask = labels == lab
+            out_label.append(int(lab))
+            out_sum.append(vecs[mask].sum(axis=0).tolist())
+            out_n.append(int(mask.sum()))
+        return pa.table({
+            "label": pa.array(out_label, pa.int32()),
+            "vec_sum": pa.array(out_sum, pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    df = embeddings.select_columns(["label", "embedding"]).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    rows = []
+    for label, group in df.groupby("label"):
+        total = np.sum(np.asarray(group["vec_sum"].tolist()), axis=0)
+        n = group["n"].sum()
+        rows.append({"label": int(label), "n": int(n),
+                     "centroid": (total / n).tolist()})
+    return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)
