@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline: the flagship KG pipeline (annotate -> link -> canonicalize ->
+nodes/edges) over a deterministic synthetic transcript table sized for the
+bench (~85k turns, with skewed long conversations), plus a set of named
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env:
+  GRAFT_SF_DIR    input table directory          (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  ray.init(num_cpus=...)         (default 32)
+  BENCH_CONVS     transcript conversations       (default 8000)
+
+``python bench.py --scaling`` runs the identical bench twice in fresh
+subprocesses at num_cpus=8 and num_cpus=32 on the same (pre-generated,
+page-cache-warmed) input and reports throughput at both plus the scaling
+efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "8000"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ontonotes_5_parsing_ray.pipelines import queries as q
+    from ontonotes_5_parsing_ray.pipelines.kg import read_transcripts, run_kg_pipeline
+    from ontonotes_5_parsing_ray.sources.transcripts import (
+        default_transcripts_dir,
+        generate_transcripts,
+    )
+
+    # -- headline: KG pipeline over the bench transcript table ---------------
+    tdir = generate_transcripts(
+        default_transcripts_dir(f"bench_{n_convs}"),
+        n_convs=n_convs, seed=42, mean_turns=8,
+        skew_frac=0.003, skew_turns=1200, shard_count=64,
+    )
+    n_turns = read_transcripts(tdir).count()  # warms the page cache too
+
+    t0 = time.time()
+    out = run_kg_pipeline(tdir, concurrency=max(2, num_cpus - 2))
+    n_triples = out["triples"].count()
+    n_edges = out["edges"].count()
+    kg_sec = time.time() - t0
+
+    # -- named queries over the sf tables ------------------------------------
+    query_times = {}
+    for name, fn in [
+        ("q1_pricing_summary", q.q1_pricing_summary),
+        ("q3_top_orders", q.q3_top_orders),
+        ("events_hourly", q.events_hourly),
+        ("docs_exact_dedup", lambda d: q.docs_exact_dedup(d).count()),
+        ("docs_token_stats", lambda d: q.docs_token_stats(d).count()),
+        ("docs_minhash_pairs", lambda d: q.docs_minhash_pairs(d).count()),
+        ("emb_knn_top10", q.emb_knn_top10),
+    ]:
+        t1 = time.time()
+        fn(sf_dir)
+        query_times[name] = round(time.time() - t1, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_e2e",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf_tag,
+        "num_cpus": num_cpus,
+        "turns": int(n_turns),
+        "triples": int(n_triples),
+        "edges": int(n_edges),
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 then 32 CPUs (BASELINE.md protocol)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t8,
+        "sec_32": t32,
+        "turns_per_sec_8": results[8]["turns_per_sec"],
+        "turns_per_sec_32": results[32]["turns_per_sec"],
+        "triples_per_sec_8": results[8]["triples_per_sec"],
+        "triples_per_sec_32": results[32]["triples_per_sec"],
+        "turns": results[32]["turns"],
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

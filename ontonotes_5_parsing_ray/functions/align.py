@@ -130,7 +130,8 @@ def fuzzy_token_bounds(
             if s_tok == t_tok:
                 sub = 0.0
             else:
-                sub = levenshtein(s_tok, t_tok) / max(len(s_tok), len(t_tok))
+                # tokens repeat heavily across turns -> memoized distance
+                sub = levenshtein_cached(s_tok, t_tok) / max(len(s_tok), len(t_tok))
             D[i, j] = min(
                 D[i - 1, j] + deletion_cost,
                 D[i, j - 1] + insertion_cost,

@@ -24,12 +24,36 @@ from ..functions.record import annotate_turn_text, record_to_long_form
 
 
 class AnnotateTurns:
-    """Actor-pool callable: annotate each turn of an Arrow batch."""
+    """Actor-pool callable: annotate each turn of an Arrow batch.
+
+    Per-actor memo: real transcript corpora repeat boilerplate turns
+    (greetings, tool preambles) heavily, so annotation results are cached by
+    ``(text, mode)`` — dedup-before-compute. The cache is bounded; eviction
+    is whole-flush (simple, and the hot set is tiny relative to the bound).
+    Cached or not, results are byte-identical to the oracle's.
+    """
+
+    CACHE_LIMIT = 200_000
 
     def __init__(self, simulate_model_tokens_for_tools: bool = True):
         # Per-actor setup: importing functions.* compiles every regex and
         # builds the gazetteer/lexicon tables once per worker process.
         self.tool_subwords = simulate_model_tokens_for_tools
+        self._memo: dict = {}
+
+    def _annotate(self, text: str, subwords: bool):
+        key = (text, subwords)
+        hit = self._memo.get(key)
+        if hit is None:
+            record, e = annotate_turn_text(text, simulate_model_tokens=subwords)
+            hit = (
+                json.dumps(record, ensure_ascii=False) if record is not None else "",
+                e,
+            )
+            if len(self._memo) >= self.CACHE_LIMIT:
+                self._memo.clear()
+            self._memo[key] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -38,18 +62,15 @@ class AnnotateTurns:
         err: List[str] = []
         rec_json: List[str] = []
         for text, role in zip(texts, roles):
-            record, e = annotate_turn_text(
-                text,
-                simulate_model_tokens=(self.tool_subwords and role == "tool"),
-            )
-            if record is None:
+            rec, e = self._annotate(text, self.tool_subwords and role == "tool")
+            if not rec:
                 ok.append(False)
                 err.append(e)
                 rec_json.append("")
             else:
                 ok.append(True)
                 err.append("")
-                rec_json.append(json.dumps(record, ensure_ascii=False))
+                rec_json.append(rec)
         return (
             batch
             .append_column("ok", pa.array(ok, pa.bool_()))

@@ -1,0 +1,57 @@
+"""Similarity search: brute-force exactness, LSH recall, centroid merging."""
+
+import numpy as np
+import pyarrow as pa
+
+from tests.conftest import SF_DIR
+
+
+def _emb_ds(ray_session, n=200, dim=16, seed=5):
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    labels = rng.randint(0, 4, size=n)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })), vecs
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    from ontonotes_5_parsing_ray.stages.ann import knn_bruteforce
+
+    ds, vecs = _emb_ds(ray_session)
+    q = vecs[0].astype(np.float64)
+    out = knn_bruteforce(ds, q, k=10)
+    unit = vecs.astype(np.float64) / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qv = q / np.linalg.norm(q)
+    cos = unit @ qv
+    expected = np.lexsort((np.arange(len(cos)), -cos))[:10]
+    assert out["vec_id"].tolist() == expected.tolist()
+    assert out["vec_id"].iloc[0] == 0 and out["cosine"].iloc[0] == 1.0
+
+
+def test_knn_lsh_recall_and_subset(ray_session):
+    from ontonotes_5_parsing_ray.stages.ann import knn_bruteforce, knn_lsh
+
+    ds, vecs = _emb_ds(ray_session)
+    q = vecs[7].astype(np.float64)
+    exact = set(knn_bruteforce(ds, q, k=10)["vec_id"])
+    approx = knn_lsh(ds, q, k=10, n_planes=6, multiprobe=3)
+    # approximate: top hit must be found, results must be real vectors
+    assert 7 in set(approx["vec_id"])
+    assert len(set(approx["vec_id"]) & exact) >= 3  # sane recall on buckets
+
+
+def test_label_centroids_merge_partials(ray_session):
+    from ontonotes_5_parsing_ray.stages.ann import label_centroids
+
+    ds, vecs = _emb_ds(ray_session)
+    labels = ds.to_pandas()["label"].to_numpy()
+    out = label_centroids(ds)
+    for row in out.itertuples(index=False):
+        expected = vecs[labels == row.label].astype(np.float64).mean(axis=0)
+        assert np.allclose(np.asarray(row.centroid), expected, atol=1e-9)
+        assert row.n == int((labels == row.label).sum())

@@ -1,0 +1,45 @@
+"""Distributed canonicalization == driver kernel (order-free determinism)."""
+
+import pyarrow as pa
+
+from ontonotes_5_parsing_ray.functions.canon import (
+    canonical_entity_id,
+    cluster_surfaces,
+    connected_components,
+)
+from ontonotes_5_parsing_ray.functions.kgrules import normalize_surface
+
+SURFACES = [
+    "Acme Corp", "Acme Corporation", "ACME Corp", "Globex", "Globex Inc",
+    "Initech", "Initech LLC", "New York", "new york city", "Grace Hopper",
+    "Hooli", "Pied Piper", "pied pipers", "Black Mesa", "Stark Industries",
+]
+
+
+def test_connected_components_min_rep():
+    comp = connected_components(["a", "bb", "c"], [("a", "bb"), ("bb", "c")])
+    assert comp == {"a": "a", "bb": "a", "c": "a"}
+    comp = connected_components(["x", "y"], [])
+    assert comp == {"x": "x", "y": "y"}
+
+
+def test_cluster_surfaces_merges_variants():
+    norms = sorted({normalize_surface(s) for s in SURFACES})
+    mapping = cluster_surfaces(norms)
+    assert mapping["acme corporation"] == "acme corp"
+    assert mapping["globex inc"] == "globex"
+    assert mapping["initech llc"] == "initech"
+    assert mapping["black mesa"] == "black mesa"  # singleton unchanged
+    assert canonical_entity_id("acme corp") == canonical_entity_id("acme corp")
+
+
+def test_distributed_path_equals_driver_kernel(ray_session):
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.canonicalize import build_canon_map
+
+    norms = sorted({normalize_surface(s) for s in SURFACES})
+    ds = rd.from_arrow(pa.table({"norm": pa.array(norms, pa.string())}))
+    # driver_limit=0 forces the band-groupby + min-label-propagation path
+    dist = {r["norm"]: r["canon"] for r in build_canon_map(ds, driver_limit=0).take_all()}
+    assert dist == cluster_surfaces(norms)

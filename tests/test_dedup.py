@@ -1,0 +1,83 @@
+"""Dedup operators vs brute-force ground truth on small synthetic corpora."""
+
+import itertools
+
+import pandas as pd
+import pyarrow as pa
+
+from ontonotes_5_parsing_ray.functions.hashing import jaccard, word_shingles
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog near the river bank"),  # near dup
+    (3, "completely unrelated content about database query optimization plans"),
+    (4, "another unrelated text mentioning vector search and embedding models"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bend"),  # near dup
+]
+
+
+def _docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string()),
+    }))
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    from ontonotes_5_parsing_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(ray_session)).to_pandas().sort_values("doc_id")
+    assert len(out) == 5  # 6 docs, one exact duplicate collapsed
+    kept0 = out[out["doc_id"] == 0]
+    assert len(kept0) == 1 and kept0.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_pairs_vs_bruteforce(ray_session):
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    threshold = 0.5
+    out = minhash_near_dup_pairs(_docs_ds(ray_session), threshold=threshold) \
+        .to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    # brute force ground truth (LSH may miss borderline pairs, never invents)
+    truth = set()
+    sh = {i: word_shingles(t.split(), 3) for i, t in DOCS}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if jaccard(sh[a], sh[b]) >= threshold:
+            truth.add((a, b))
+    assert got <= truth            # no false positives (verify step is exact)
+    assert (0, 1) in got           # exact dup always caught
+    assert len(got) >= len(truth) - 1  # at most one borderline miss
+
+
+def test_simhash_pairs_catch_near_dups(ray_session):
+    from ontonotes_5_parsing_ray.stages.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs_ds(ray_session), max_hamming=10).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+    assert (0, 3) not in got
+
+
+def test_embedding_near_dup(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 16).astype(np.float32)
+    vecs = [base[0], base[0] + 0.01 * rng.randn(16).astype(np.float32),
+            base[1], base[2], base[3]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    }))
+    out = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)

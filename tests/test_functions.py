@@ -1,0 +1,135 @@
+"""Unit tests: tokenizer, tree parse, tag distance, hashing, analysis."""
+
+import pytest
+
+from ontonotes_5_parsing_ray.functions.analysis import (
+    detect_language,
+    n_tokens_sqlish,
+    quality_metrics,
+)
+from ontonotes_5_parsing_ray.functions.distance import levenshtein
+from ontonotes_5_parsing_ray.functions.hashing import (
+    MinHasher,
+    char_shingles,
+    hamming64,
+    jaccard,
+    rolling_fingerprint,
+    simhash64,
+    stable_hash64,
+)
+from ontonotes_5_parsing_ray.functions.tagdist import (
+    build_reduction_rules,
+    canonical_member,
+    nearest_seed_index,
+    tag_distance,
+)
+from ontonotes_5_parsing_ray.functions.text import (
+    collapse_double_spaces,
+    tokenize_any_text,
+)
+from ontonotes_5_parsing_ray.functions.treeparse import (
+    parse_sexpr_tree,
+    pos_tag,
+    rule_parse,
+    verb_lemma,
+)
+
+
+def test_levenshtein_basics():
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("abc", "abc") == 0
+
+
+def test_tokenizer_cjk_split():
+    assert tokenize_any_text("ab 你好 cd") == ["ab", "你", "好", "cd"]
+    assert tokenize_any_text("Hello, world!") == ["Hello", ",", "world", "!"]
+    assert tokenize_any_text("") == []
+
+
+def test_whitespace_fixpoint():
+    assert collapse_double_spaces("a    b  c ") == "a b c"
+
+
+def test_parse_sexpr_real_tree():
+    tree = "(TOP (S (NP-SBJ (NNP Hong) (NNP Kong)) (VP (VBZ is) (NP (DT a) (NN city)))))"
+    out = parse_sexpr_tree(tree)
+    assert out[0] == ("Hong", ["TOP", "S", "NP-SBJ", "NNP"])
+    assert out[-1] == ("city", ["TOP", "S", "VP", "NP", "NN"])
+    for bad in ["(TOP (S)", "TOP)", "(TOP (NP two words end))", "(())"]:
+        with pytest.raises(ValueError):
+            parse_sexpr_tree(bad)
+    assert parse_sexpr_tree("   ") == []
+
+
+def test_rule_parse_paths_and_lemmas():
+    toks = ["Alice", "founded", "Acme", "in", "Paris", "."]
+    parsed = rule_parse(toks)
+    assert [p[1][-1] for p in parsed] == ["NNP", "VBD", "NNP", "IN", "NNP", "PUNCT"]
+    assert parsed[3][1] == ["TOP", "S", "PP", "IN"]
+    assert parsed[4][1] == ["TOP", "S", "PP", "NP", "NNP"]
+    assert verb_lemma("founded") == "found"
+    assert verb_lemma("acquired") == "acquire"
+    assert pos_tag("他") == "FW"
+
+
+def test_tag_distance_reference_semantics():
+    assert tag_distance("NP", "NP") == 0
+    assert tag_distance("NP", "NP-SBJ") == 2          # prefix
+    assert tag_distance("NP-SBJ", "NP-OBJ") == levenshtein("SBJ", "OBJ") + 2
+    assert tag_distance("...", "abc") == 6 * 10       # alpha vs non-alpha
+    assert tag_distance("N.P", "N-P") == 1            # normalized-equal
+    assert tag_distance("XX", "YY") == levenshtein("XX", "YY") * 10 + 2
+
+
+def test_reduction_rules_shortest_lex_rep():
+    rules, clusters = build_reduction_rules(
+        {"NP": 100, "VP": 80, "NP-SBJ": 50, "NP-OBJ": 10, "VB": 5}, 3
+    )
+    assert rules["NP-OBJ"] == "NP"
+    assert rules["VP"] == "VB"  # VB joins VP's cluster, rep = shortest/lex
+    assert canonical_member(["ORG", "ORGANIZATION", "OR"]) == "OR"
+    assert nearest_seed_index("NP-X", ["VP", "NP", "QQ"]) == 1
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(128)
+    a = char_shingles("acme corporation")
+    b = char_shingles("acme corp")
+    est = float((mh.signature(a) == mh.signature(b)).mean())
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.25
+    # determinism across instances
+    assert (MinHasher(128).signature(a) == mh.signature(a)).all()
+
+
+def test_simhash_similar_texts_close():
+    a = simhash64("the quick brown fox jumps".split())
+    b = simhash64("the quick brown fox jumped".split())
+    c = simhash64("completely different words entirely".split())
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_stable_hash_and_fingerprint_deterministic():
+    assert stable_hash64("x") == stable_hash64("x")
+    assert rolling_fingerprint("some longer text for the window") == \
+        rolling_fingerprint("some longer text for the window")
+    assert rolling_fingerprint("") == 0
+
+
+def test_analysis_sql_parity_shapes():
+    assert n_tokens_sqlish("") == 1          # matches regexp_split_to_array('')
+    assert n_tokens_sqlish("a  b   c") == 3
+    m = quality_metrics("The 42 cats.")
+    assert 0 <= m["alpha_ratio"] <= 1
+    assert m["n_tokens"] == 3
+
+
+def test_langid_heuristic():
+    assert detect_language("the cat is on the mat and it is happy") == "en"
+    assert detect_language("el perro y la casa de que es en madrid") == "es"
+    assert detect_language("le chat est dans les maisons pour une nuit") == "fr"
+    assert detect_language("der hund und die katze ist nicht hier") == "de"
+    assert detect_language("你好世界这是一个测试") == "zh"
+    assert detect_language("") == "und"
+    assert detect_language("zzz qqq www") == "und"

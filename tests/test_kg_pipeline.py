@@ -1,0 +1,65 @@
+"""The P/R gate: distributed pipeline vs single-process oracle (north_rule:
+triple P/R >= 0.95; expected exactly 1.0 because both share the kernels).
+Run with ``python -m pytest -x -q``.
+"""
+
+from ontonotes_5_parsing_ray.oracle.kg import precision_recall, triple_set
+
+
+def test_triple_precision_recall_gate(kg_result, golden_result):
+    p, r = precision_recall(
+        triple_set(kg_result["triples"]), triple_set(golden_result["triples"])
+    )
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0
+
+
+def test_graph_tables_match_oracle(kg_result, golden_result):
+    nodes = kg_result["nodes"].sort_values("canonical_surface").reset_index(drop=True)
+    gnodes = golden_result["nodes"].sort_values("canonical_surface").reset_index(drop=True)
+    assert len(nodes) == len(gnodes)
+    merged = nodes.merge(gnodes, on="canonical_surface", suffixes=("_r", "_g"))
+    assert (merged["entity_type_r"] == merged["entity_type_g"]).all()
+    assert (merged["n_mentions_r"] == merged["n_mentions_g"]).all()
+
+    edges = kg_result["edges"]
+    gedges = golden_result["edges"]
+    assert len(edges) == len(gedges)
+    key_r = set(zip(edges["subj_id"], edges["pred"], edges["obj_id"]))
+    key_g = set(zip(gedges["subj_id"], gedges["pred"], gedges["obj_id"]))
+    assert key_r == key_g
+
+    assert len(kg_result["errors"]) == len(golden_result["errors"])
+
+
+def test_per_turn_text_equality_invariant(kg_result, tiny_table):
+    """The input_hint invariant: every mention's surface equals the
+    corresponding turn text slice under stable (conv_id, turn_idx) order."""
+    texts = {}
+    df = tiny_table.to_pandas()
+    for row in df.itertuples(index=False):
+        texts[(row.conv_id, int(row.turn_idx))] = row.text
+    mentions = kg_result["mentions"]
+    checked = 0
+    for row in mentions.itertuples(index=False):
+        raw = texts[(row.conv_id, int(row.turn_idx))]
+        # mention offsets index the normalized turn text; for turns without
+        # special-token blanking the raw text IS the normalized text
+        if "EDITED" not in raw and "  " not in raw and raw.strip() == raw:
+            assert raw[row.start:row.end] == row.surface
+            checked += 1
+    assert checked > 100
+
+
+def test_turn_ordering_invariant(kg_result):
+    """Input rows are shuffled on disk; chain ids must still be assigned in
+    first-appearance order under stable (turn_idx, start) order."""
+    mentions = kg_result["mentions"]
+    for conv_id, group in mentions[~mentions["is_pronoun"]].groupby("conv_id"):
+        group = group.sort_values(["turn_idx", "start"])
+        seen = set()
+        for _, row in group.iterrows():
+            cid = row["chain_id"]
+            if cid not in seen:
+                assert not seen or cid > max(seen), (conv_id, cid)
+                seen.add(cid)

@@ -1,0 +1,102 @@
+"""Checkpoint/lineage, tag reduction, multimodal stubs, stats pipelines."""
+
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_checkpoint_markers_and_resume(tmp_path):
+    from ontonotes_5_parsing_ray.state.checkpoint import (
+        partition_of,
+        pending_partitions,
+        read_lineage,
+        write_lineage,
+    )
+
+    d = str(tmp_path)
+    assert pending_partitions(d, 4) == [0, 1, 2, 3]
+    write_lineage(d, 2, "edges", 100, extra={"input": "part-0002"})
+    write_lineage(d, 0, "edges", 50)
+    assert pending_partitions(d, 4) == [1, 3]
+    lineage = read_lineage(d)
+    assert [l["partition"] for l in lineage] == [0, 2]
+    assert lineage[1]["rows"] == 100 and lineage[1]["input"] == "part-0002"
+    # partition assignment is stable
+    assert partition_of("conv000001", 8) == partition_of("conv000001", 8)
+
+
+def test_reduce_tags_two_pass(ray_session):
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.reduce_tags import build_rules, reduce_tags
+
+    rows = {
+        "conv_id": ["c1"] * 6 + ["c2"] * 2,
+        "turn_idx": [0, 0, 0, 0, 0, 0, 1, 1],
+        "kind": ["morphology"] * 8,
+        "tag": ["NN", "NN", "NNP", "NN-X", "VB", "VBD", "NN", "NNP"],
+        "start": [0, 5, 10, 15, 20, 25, 0, 5],
+        "end": [3, 8, 13, 18, 23, 28, 3, 8],
+    }
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "tag": pa.array(rows["tag"], pa.string()),
+        "start": pa.array(rows["start"], pa.int32()),
+        "end": pa.array(rows["end"], pa.int32()),
+    }))
+    rules = build_rules(ds, max_types=2)
+    # NN (freq 3) and NNP (freq 2) seed; NN-X joins NN; VB* join by distance
+    assert rules["morphology"]["NN-X"] == "NN"
+    reduced = reduce_tags(ds, max_types=2).to_pandas()
+    assert set(reduced["tag"]) <= {"NN", "NNP"}
+    # span counts preserved except where merges collapse overlaps
+    assert len(reduced) <= 8
+
+
+def test_multimodal_fake_decode_and_strict_stub(ray_session):
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.multimodal import (
+        DecodeMedia,
+        decode_media,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(n=12)
+    out = decode_media(rd.from_arrow(media), mode="fake").to_pandas()
+    assert len(out) == 12
+    assert "payload" not in out.columns           # heavy bytes dropped
+    assert all(len(f) == 8 for f in out["features"])
+    assert (out["n_bytes"] > 0).all()
+    # deterministic across runs
+    out2 = decode_media(rd.from_arrow(media), mode="fake").to_pandas()
+    assert out.sort_values("media_id")["payload_crc"].tolist() == \
+        out2.sort_values("media_id")["payload_crc"].tolist()
+    # strict mode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(mode="strict")(media)
+    with pytest.raises(ValueError):
+        DecodeMedia(mode="bogus")
+
+
+def test_stats_pipelines(ray_session, tiny_transcripts):
+    from ontonotes_5_parsing_ray.pipelines.kg import annotate, read_transcripts
+    from ontonotes_5_parsing_ray.pipelines.stats import (
+        entity_frequencies,
+        tag_frequencies_by_kind,
+    )
+    from ontonotes_5_parsing_ray.stages.annotate import annotations_long_form
+
+    ann = annotate(read_transcripts(tiny_transcripts), concurrency=2).map_batches(
+        annotations_long_form, batch_format="pyarrow"
+    ).materialize()
+    ef = entity_frequencies(ann, kind="entities")
+    assert set(ef.columns) == {"tag", "n_spans"}
+    assert (ef["n_spans"].diff().dropna() <= 0).all()  # sorted desc
+    assert {"PERSON", "ORG", "GPE"} <= set(ef["tag"])
+    tf = tag_frequencies_by_kind(ann)
+    assert {"morphology", "syntax", "entities"} == set(tf["kind"])

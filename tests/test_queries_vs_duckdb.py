@@ -1,0 +1,73 @@
+"""Driver-style correctness: queries() vs oracle_sql() via DuckDB at sf0.001.
+
+A pytest-resident mirror of what the graft driver does at sf0.01 — columns
+sorted by name, floats rounded, order-insensitive compare.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SQL_PAIRED = [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "top_customers", "events_hourly", "events_sessions",
+    "docs_exact_dedup", "docs_token_stats", "docs_lang_counts",
+    "emb_knn_top10", "emb_label_stats", "transcript_ordering",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if df[col].dtype == object:
+            df[col] = df[col].astype(str)
+        elif np.issubdtype(df[col].dtype, np.floating):
+            df[col] = df[col].round(6)
+        elif np.issubdtype(df[col].dtype, np.integer):
+            df[col] = df[col].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SQL_PAIRED)
+def test_query_matches_duckdb_oracle(ray_session, duck, name):
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    result = entry.queries()[name](SF_DIR)
+    if isinstance(result, rd.Dataset):
+        result = result.to_pandas()
+    mine = _canon(result)
+    oracle = _canon(duck.execute(entry.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_every_query_has_an_oracle_or_rationale():
+    import __ray_entry__ as entry
+
+    qs = set(entry.queries().keys())
+    sqls = set(entry.oracle_sql().keys())
+    assert sqls <= qs
+    # non-SQL queries are exactly the heuristic/hash/KG/model-shaped ones
+    rows_only = qs - sqls
+    assert all(
+        n.startswith(("kg_", "docs_langid", "docs_fingerprints",
+                      "docs_minhash", "docs_simhash", "media_"))
+        for n in rows_only
+    ), rows_only
