@@ -28,7 +28,7 @@ import time
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_CONVS", "8000"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "20000"))
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
 
     import ray
@@ -54,6 +54,7 @@ def run_bench() -> dict:
         default_transcripts_dir(f"bench_{n_convs}"),
         n_convs=n_convs, seed=42, mean_turns=8,
         skew_frac=0.003, skew_turns=1200, shard_count=64,
+        unique_refs=True,  # per-turn entropy: no annotation memo shortcut
     )
     n_turns = read_transcripts(tdir).count()  # warms the page cache too
 

@@ -76,9 +76,19 @@ def verbs_from_record(record: AnnotationRecord) -> List[Tuple[Span, str]]:
     return verbs
 
 
-def extract_turn_triples(
+def turn_link_payload(
     record: AnnotationRecord,
-    mentions: Optional[Sequence[Dict[str, object]]] = None,
+) -> Tuple[List[Dict[str, object]], List[Tuple[Span, str]]]:
+    """The compact per-turn payload conversation linking needs: mentions +
+    verbs. This — not the full record — is what crosses the groupby(conv_id)
+    shuffle (an order of magnitude fewer bytes per turn than the full
+    morphology/syntax record)."""
+    return mentions_from_record(record), verbs_from_record(record)
+
+
+def extract_turn_triples(
+    mentions: Sequence[Dict[str, object]],
+    verbs: Sequence[Tuple[Span, str]],
 ) -> List[Dict[str, object]]:
     """Dependency-pattern-style SVO rules over one turn.
 
@@ -89,12 +99,10 @@ def extract_turn_triples(
 
     Returns dicts ``{pred, subj_start, subj_end, obj_start, obj_end}``.
     """
-    if mentions is None:
-        mentions = mentions_from_record(record)
     if not mentions:
         return []
     triples: List[Dict[str, object]] = []
-    for (v_start, v_end), lemma in verbs_from_record(record):
+    for (v_start, v_end), lemma in verbs:
         subj = None
         for m in mentions:
             if m["end"] <= v_start:  # type: ignore[operator]
@@ -117,12 +125,14 @@ def extract_turn_triples(
 
 
 def link_conversation(
-    turns: Sequence[Tuple[int, AnnotationRecord]],
+    turns: Sequence[Tuple[int, Sequence[Dict[str, object]], Sequence[Tuple[Span, str]]]],
 ) -> Tuple[List[Dict[str, object]], List[Dict[str, object]]]:
     """Conversation-scoped coreference + triple resolution.
 
-    ``turns`` must be sorted by ``turn_idx`` (the stable-turn-ordering
-    invariant; the Ray stage sorts inside ``groupby(conv_id).map_groups``).
+    ``turns`` is a sequence of ``(turn_idx, mentions, verbs)`` payloads (see
+    :func:`turn_link_payload`) and must be sorted by ``turn_idx`` (the
+    stable-turn-ordering invariant; the Ray stage sorts inside
+    ``groupby(conv_id).map_groups``).
 
     Chains: each distinct normalized non-pronoun surface gets a chain id in
     first-appearance order; a pronoun mention joins the chain of the most
@@ -140,8 +150,7 @@ def link_conversation(
     last_entity: Optional[Dict[str, object]] = None
     mention_rows: List[Dict[str, object]] = []
     triple_rows: List[Dict[str, object]] = []
-    for turn_idx, record in turns:
-        mentions = mentions_from_record(record)
+    for turn_idx, mentions, verbs in turns:
         resolved: Dict[Tuple[int, int], Dict[str, object]] = {}
         for m in mentions:
             if m["is_pronoun"]:
@@ -175,7 +184,7 @@ def link_conversation(
                     "surface": m["surface"], "chain_id": chain_id,
                     "entity_type": m["entity_type"],
                 }
-        for t in extract_turn_triples(record, mentions):
+        for t in extract_turn_triples(mentions, verbs):
             s = resolved[(t["subj_start"], t["subj_end"])]  # type: ignore[index]
             o = resolved[(t["obj_start"], t["obj_end"])]  # type: ignore[index]
             subj = s["antecedent"] if s["is_pronoun"] else s["surface"]

@@ -18,7 +18,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.canon import canonical_entity_id, cluster_surfaces
-from ..functions.kgrules import link_conversation, normalize_surface
+from ..functions.kgrules import (
+    link_conversation,
+    normalize_surface,
+    turn_link_payload,
+)
 from ..functions.record import annotate_turn_text, record_to_long_form
 
 
@@ -52,7 +56,8 @@ def extract_kg_single_process(
                     "error": err,
                 })
                 continue
-            turns.append((int(row.turn_idx), record))
+            mentions, verbs = turn_link_payload(record)
+            turns.append((int(row.turn_idx), mentions, verbs))
             for kind, tag, start, end in record_to_long_form(record):
                 ann_rows.append({
                     "conv_id": conv_id, "turn_idx": int(row.turn_idx),

@@ -47,9 +47,14 @@ def read_transcripts(path: str) -> rd.Dataset:
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
 
 
-def annotate(ds: rd.Dataset, concurrency: Optional[int] = None) -> rd.Dataset:
+def annotate(
+    ds: rd.Dataset,
+    concurrency: Optional[int] = None,
+    emit: str = "record",
+) -> rd.Dataset:
     return ds.map_batches(
         AnnotateTurns,
+        fn_constructor_kwargs={"emit": emit},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency or 4,
@@ -58,9 +63,11 @@ def annotate(ds: rd.Dataset, concurrency: Optional[int] = None) -> rd.Dataset:
 
 
 def link(annotated: rd.Dataset) -> rd.Dataset:
-    """One grouping pass produces mentions + triples + the error channel."""
+    """One grouping pass produces mentions + triples + the error channel.
+
+    Only the compact ``link_json`` payload crosses the conv_id shuffle."""
     turns = annotated.select_columns(
-        ["conv_id", "turn_idx", "ok", "record_json", "error"]
+        ["conv_id", "turn_idx", "ok", "link_json", "error"]
     )
     return turns.groupby("conv_id").map_groups(
         link_group, batch_format="pandas"
@@ -233,7 +240,7 @@ def run_kg_pipeline(
     without re-running annotation.
     """
     ds = read_transcripts(transcript_path)
-    annotated = annotate(ds, concurrency=concurrency)
+    annotated = annotate(ds, concurrency=concurrency, emit="link")
     linked = link(annotated).materialize()
     mentions, triples = split_linked(linked)
     canon_map = build_canon_map(

@@ -61,9 +61,19 @@ _TOOL_TEXTS = [
 _POOLS: Dict[str, List[str]] = {"PERSON": _PERSON, "ORG": _ORG, "GPE": _GPE}
 
 
-def _conv_rows(conv_id: str, n_turns: int, rng: np.random.RandomState):
+# Bump when row content changes: invalidates cached parquet under /tmp.
+GENERATOR_VERSION = 2
+
+
+def _conv_rows(
+    conv_id: str,
+    n_turns: int,
+    rng: np.random.RandomState,
+    unique_refs: bool = False,
+):
     rows = []
     conv_offset = stable_hash64(conv_id) % 86_400
+    conv_tag = stable_hash64(conv_id) % 100_000
     for turn_idx in range(n_turns):
         r = rng.randint(0, 100)
         if r < 12:  # tool turn
@@ -84,6 +94,10 @@ def _conv_rows(conv_id: str, n_turns: int, rng: np.random.RandomState):
                 pool = _POOLS[slots[1]]
                 fills[1] = pool[(pool.index(fills[1]) + 1) % len(pool)]
             text = tmpl.format(*fills)
+        if unique_refs:
+            # Per-turn unique reference token: realistic text entropy so
+            # bench runs measure real per-turn compute, not memo hits.
+            text = f"{text} ref{conv_tag}x{turn_idx}"
         rows.append((
             conv_id,
             turn_idx,
@@ -101,6 +115,7 @@ def build_transcripts_table(
     mean_turns: int = 8,
     skew_frac: float = 0.02,
     skew_turns: int = 400,
+    unique_refs: bool = False,
 ) -> pa.Table:
     """Build the full transcript table in memory (test/small scales).
 
@@ -117,7 +132,7 @@ def build_transcripts_table(
             n_turns = skew_turns
         else:
             n_turns = 2 + int(rng.poisson(mean_turns))
-        all_rows.extend(_conv_rows(conv_id, n_turns, rng))
+        all_rows.extend(_conv_rows(conv_id, n_turns, rng, unique_refs))
     order = rng.permutation(len(all_rows))
     all_rows = [all_rows[i] for i in order]
     conv_id, turn_idx, role, text, tool, ts = zip(*all_rows)
@@ -139,6 +154,7 @@ def generate_transcripts(
     skew_frac: float = 0.02,
     skew_turns: int = 400,
     shard_count: int = 8,
+    unique_refs: bool = False,
 ) -> str:
     """Write the deterministic transcript table as sharded Parquet.
 
@@ -147,14 +163,16 @@ def generate_transcripts(
     skip whole finished shards. Idempotent: skips generation when the marker
     file with identical parameters exists.
     """
-    params = f"{n_convs}:{seed}:{mean_turns}:{skew_frac}:{skew_turns}:{shard_count}"
+    params = (f"v{GENERATOR_VERSION}:{n_convs}:{seed}:{mean_turns}:"
+              f"{skew_frac}:{skew_turns}:{shard_count}:{unique_refs}")
     marker = os.path.join(out_dir, "_GENERATED")
     if os.path.isfile(marker):
         with open(marker) as fh:
             if fh.read().strip() == params:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = build_transcripts_table(n_convs, seed, mean_turns, skew_frac, skew_turns)
+    table = build_transcripts_table(n_convs, seed, mean_turns, skew_frac,
+                                    skew_turns, unique_refs)
     conv_ids = table["conv_id"].to_pylist()
     shard = np.array([stable_hash64(c) % shard_count for c in conv_ids])
     for s in range(shard_count):

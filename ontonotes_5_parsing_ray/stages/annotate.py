@@ -35,21 +35,52 @@ class AnnotateTurns:
 
     CACHE_LIMIT = 200_000
 
-    def __init__(self, simulate_model_tokens_for_tools: bool = True):
+    def __init__(
+        self,
+        simulate_model_tokens_for_tools: bool = True,
+        emit: str = "record",
+    ):
         # Per-actor setup: importing functions.* compiles every regex and
         # builds the gazetteer/lexicon tables once per worker process.
+        if emit not in ("record", "link", "both"):
+            raise ValueError(emit)
         self.tool_subwords = simulate_model_tokens_for_tools
+        self.emit = emit
         self._memo: dict = {}
+
+    @staticmethod
+    def _link_payload_json(record) -> str:
+        """Compact mentions+verbs payload — the only bytes the conv_id
+        shuffle has to move (full records stay out of the all-to-all)."""
+        from ..functions.kgrules import turn_link_payload
+
+        mentions, verbs = turn_link_payload(record)
+        return json.dumps(
+            [
+                [[m["start"], m["end"], m["surface"], m["entity_type"],
+                  1 if m["is_pronoun"] else 0] for m in mentions],
+                [[s, e, lemma] for (s, e), lemma in verbs],
+            ],
+            ensure_ascii=False,
+        )
 
     def _annotate(self, text: str, subwords: bool):
         key = (text, subwords)
         hit = self._memo.get(key)
         if hit is None:
             record, e = annotate_turn_text(text, simulate_model_tokens=subwords)
-            hit = (
-                json.dumps(record, ensure_ascii=False) if record is not None else "",
-                e,
-            )
+            if record is None:
+                hit = ("", "", e)
+            else:
+                rec_json = (
+                    json.dumps(record, ensure_ascii=False)
+                    if self.emit in ("record", "both") else ""
+                )
+                link_json = (
+                    self._link_payload_json(record)
+                    if self.emit in ("link", "both") else ""
+                )
+                hit = (rec_json, link_json, "")
             if len(self._memo) >= self.CACHE_LIMIT:
                 self._memo.clear()
             self._memo[key] = hit
@@ -61,22 +92,23 @@ class AnnotateTurns:
         ok: List[bool] = []
         err: List[str] = []
         rec_json: List[str] = []
+        link_json: List[str] = []
         for text, role in zip(texts, roles):
-            rec, e = self._annotate(text, self.tool_subwords and role == "tool")
-            if not rec:
-                ok.append(False)
-                err.append(e)
-                rec_json.append("")
-            else:
-                ok.append(True)
-                err.append("")
-                rec_json.append(rec)
-        return (
+            rec, link, e = self._annotate(text, self.tool_subwords and role == "tool")
+            ok.append(e == "")
+            err.append(e)
+            rec_json.append(rec)
+            link_json.append(link)
+        out = (
             batch
             .append_column("ok", pa.array(ok, pa.bool_()))
             .append_column("error", pa.array(err, pa.string()))
-            .append_column("record_json", pa.array(rec_json, pa.string()))
         )
+        if self.emit in ("record", "both"):
+            out = out.append_column("record_json", pa.array(rec_json, pa.string()))
+        if self.emit in ("link", "both"):
+            out = out.append_column("link_json", pa.array(link_json, pa.string()))
+        return out
 
 
 def annotations_long_form(batch: pa.Table) -> pa.Table:

@@ -123,20 +123,33 @@ def build_canon_map(
     driver_limit: int = DRIVER_CLUSTER_LIMIT,
 ) -> rd.Dataset:
     """``Dataset[norm] -> Dataset[norm, canon]`` clustering (auto small/large path)."""
+
+    def per_batch_distinct(batch: pa.Table) -> pa.Table:
+        norms = sorted(set(batch.column("norm").to_pylist()))
+        return pa.table({"norm": pa.array(norms, pa.string())})
+
+    deduped = surfaces.map_batches(per_batch_distinct, batch_format="pyarrow")
+
+    if driver_limit > 0:
+        # Small-side fast path with NO shuffle: stream the per-batch distinct
+        # rows to the driver with a cap; if the stream fits, the global set
+        # union + clustering happen here with the exact oracle kernel.
+        cap = driver_limit * 4
+        sample = deduped.take(cap)
+        if len(sample) < cap:
+            norms = sorted({r["norm"] for r in sample})
+            if len(norms) <= driver_limit:
+                from ..functions.canon import cluster_surfaces
+
+                mapping = cluster_surfaces(norms, threshold=threshold)
+                items = sorted(mapping.items())
+                return rd.from_arrow(pa.table({
+                    "norm": pa.array([k for k, _ in items], pa.string()),
+                    "canon": pa.array([v for _, v in items], pa.string()),
+                }))
+
+    # Distributed path: global distinct via groupby, then LSH + components.
     uniq = distinct_norms(surfaces).materialize()
-
-    if uniq.count() <= driver_limit:
-        from ..functions.canon import cluster_surfaces
-
-        norms = [r["norm"] for r in uniq.take_all()]
-        mapping = cluster_surfaces(norms, threshold=threshold)
-        items = [{"norm": k, "canon": v} for k, v in sorted(mapping.items())]
-        if not items:
-            items = []
-        return rd.from_arrow(pa.table({
-            "norm": pa.array([i["norm"] for i in items], pa.string()),
-            "canon": pa.array([i["canon"] for i in items], pa.string()),
-        }))
 
     banded = uniq.map_batches(
         BandKeys, batch_format="pyarrow", concurrency=2, batch_size=4096

@@ -47,11 +47,20 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
     """
     group = group.sort_values("turn_idx", kind="mergesort")
     conv_id = group["conv_id"].iloc[0]
-    turns = [
-        (int(turn_idx), json.loads(rec))
-        for turn_idx, ok, rec in zip(group["turn_idx"], group["ok"], group["record_json"])
-        if ok
-    ]
+    turns = []
+    for turn_idx, ok, payload in zip(
+        group["turn_idx"], group["ok"], group["link_json"]
+    ):
+        if not ok:
+            continue
+        raw_mentions, raw_verbs = json.loads(payload)
+        mentions = [
+            {"start": s, "end": e, "surface": surf, "entity_type": et,
+             "is_pronoun": bool(pron)}
+            for s, e, surf, et, pron in raw_mentions
+        ]
+        verbs = [((s, e), lemma) for s, e, lemma in raw_verbs]
+        turns.append((int(turn_idx), mentions, verbs))
     mention_rows, triple_rows = link_conversation(turns)
     rows: List[dict] = []
     for turn_idx, ok, err in zip(group["turn_idx"], group["ok"], group["error"]):

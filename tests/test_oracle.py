@@ -3,8 +3,8 @@
 from ontonotes_5_parsing_ray.functions.kgrules import (
     extract_turn_triples,
     link_conversation,
-    mentions_from_record,
     normalize_surface,
+    turn_link_payload,
 )
 from ontonotes_5_parsing_ray.functions.record import annotate_turn_text
 from ontonotes_5_parsing_ray.functions.spans import check_spans
@@ -33,7 +33,8 @@ def test_dead_letter_not_exception():
 
 def test_triple_extraction_svo_rule():
     record, _ = annotate_turn_text("Grace Hopper joined Initech .")
-    triples = extract_turn_triples(record)
+    mentions, verbs = turn_link_payload(record)
+    triples = extract_turn_triples(mentions, verbs)
     assert len(triples) == 1
     t = triples[0]
     text = record["text"]
@@ -50,7 +51,8 @@ def test_coref_resolves_pronoun_to_previous_entity():
     ]):
         record, err = annotate_turn_text(text)
         assert err == ""
-        turns.append((i, record))
+        mentions, verbs = turn_link_payload(record)
+        turns.append((i, mentions, verbs))
     mentions, triples = link_conversation(turns)
     pron = [m for m in mentions if m["is_pronoun"]]
     assert pron and pron[0]["antecedent"] == "Initech"  # most recent mention
