@@ -53,9 +53,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": q.q3_top_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
         "top_customers": q.top_customers,
+        "parts_by_type": q.parts_by_type,
+        "customers_without_orders": q.customers_without_orders,
+        "lineitem_discount_bands": q.lineitem_discount_bands,
         # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
+        "events_user_stats": q.events_user_stats,
+        "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -66,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
+        "emb_knn_lsh": q.emb_knn_lsh,
         "emb_label_stats": q.emb_label_stats,
         # stable turn ordering (SQL-checkable)
         "transcript_ordering": q.transcript_ordering,
@@ -156,6 +162,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 6) AS value_sum
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "parts_by_type": """
+            SELECT p_type, count(*) AS n_parts,
+                   round(sum(p_retailprice) / count(*), 4) AS avg_price
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "lineitem_discount_bands": """
+            SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                        WHEN l_discount < 0.07 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY band ORDER BY band
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum,
+                   min(value) AS value_min, max(value) AS value_max
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

@@ -198,3 +198,119 @@ def link_conversation(
                 "subj_type": s["entity_type"], "obj_type": o["entity_type"],
             })
     return mention_rows, triple_rows
+
+
+# --------------------------------------------------------------------------
+# Salted (two-phase) linking for skewed long conversations
+# --------------------------------------------------------------------------
+# A 10^7-turn conversation cannot be one map_groups group. The fold above
+# decomposes: the only cross-bucket state is (ordered first-appearance norm
+# list, last-entity). So linking runs as
+#   phase A: groupby((conv_id, turn_bucket)) -> per-bucket partials: bulk
+#            mention/triple rows finalized EXCEPT chain ids (they carry the
+#            norm) and "leading pronouns" (pronouns before the bucket's
+#            first entity, pending on the previous bucket's last entity);
+#   phase B: groupby(conv_id) over ONLY the tiny per-bucket summaries ->
+#            global chain-id map + pending resolutions;
+#   phase C: map_batches over the bulk rows applying the (broadcast)
+#            resolutions.
+# Identical output to link_conversation — asserted by tests on skewed data.
+
+PENDING = "\x00PENDING"
+
+
+def link_bucket_partial(
+    turns: Sequence[Tuple[int, Sequence[Dict[str, object]], Sequence[Tuple[Span, str]]]],
+) -> Dict[str, object]:
+    """Phase A: fold one turn-bucket with UNKNOWN incoming state.
+
+    Returns ``mentions``/``triples`` bulk rows (chain ids deferred: rows
+    carry ``norm``; leading pronouns carry ``pending_key``), plus the bucket
+    summary (``new_norms`` in first-appearance order, ``last_entity`` out,
+    ``pending_keys``).
+    """
+    new_norms: List[str] = []
+    seen_norms = set()
+    last_entity: Optional[Dict[str, object]] = None
+    mention_rows: List[Dict[str, object]] = []
+    triple_rows: List[Dict[str, object]] = []
+    pending_keys: List[str] = []
+    for turn_idx, mentions, verbs in turns:
+        resolved: Dict[Tuple[int, int], Dict[str, object]] = {}
+        for m in mentions:
+            key = f"{turn_idx}:{m['start']}:{m['end']}"
+            if m["is_pronoun"]:
+                if last_entity is not None:
+                    row = {
+                        "turn_idx": turn_idx, "start": m["start"], "end": m["end"],
+                        "surface": m["surface"], "is_pronoun": True,
+                        "entity_type": last_entity["entity_type"],
+                        "norm": last_entity["norm"],
+                        "antecedent": last_entity["surface"],
+                        "pending_key": "",
+                    }
+                else:
+                    row = {
+                        "turn_idx": turn_idx, "start": m["start"], "end": m["end"],
+                        "surface": m["surface"], "is_pronoun": True,
+                        "entity_type": PENDING, "norm": PENDING,
+                        "antecedent": PENDING, "pending_key": key,
+                    }
+                    pending_keys.append(key)
+            else:
+                norm = normalize_surface(m["surface"])  # type: ignore[arg-type]
+                if norm not in seen_norms:
+                    seen_norms.add(norm)
+                    new_norms.append(norm)
+                row = {
+                    "turn_idx": turn_idx, "start": m["start"], "end": m["end"],
+                    "surface": m["surface"], "is_pronoun": False,
+                    "entity_type": m["entity_type"], "norm": norm,
+                    "antecedent": None, "pending_key": "",
+                }
+                last_entity = {
+                    "surface": m["surface"], "norm": norm,
+                    "entity_type": m["entity_type"],
+                }
+            mention_rows.append(row)
+            resolved[(m["start"], m["end"])] = row  # type: ignore[index]
+        for t in extract_turn_triples(mentions, verbs):
+            s = resolved[(t["subj_start"], t["subj_end"])]  # type: ignore[index]
+            o = resolved[(t["obj_start"], t["obj_end"])]  # type: ignore[index]
+            subj = s["antecedent"] if s["is_pronoun"] else s["surface"]
+            obj = o["antecedent"] if o["is_pronoun"] else o["surface"]
+            triple_rows.append({
+                "turn_idx": turn_idx, "pred": t["pred"],
+                "subj": subj, "obj": obj,
+                "subj_type": s["entity_type"], "obj_type": o["entity_type"],
+                "subj_pending": s["pending_key"], "obj_pending": o["pending_key"],
+            })
+    return {
+        "mentions": mention_rows,
+        "triples": triple_rows,
+        "new_norms": new_norms,
+        "last_entity": last_entity,
+        "pending_keys": pending_keys,
+    }
+
+
+def merge_bucket_summaries(
+    summaries: Sequence[Dict[str, object]],
+) -> Tuple[Dict[str, int], Dict[str, Optional[Dict[str, str]]]]:
+    """Phase B: combine per-bucket summaries (sorted by bucket index) into
+    the conversation's ``norm -> chain_id`` map and the resolution for every
+    pending (leading-pronoun) key: the carried last entity, or ``None`` when
+    no entity precedes it in the whole conversation.
+    """
+    chain_of_norm: Dict[str, int] = {}
+    resolutions: Dict[str, Optional[Dict[str, str]]] = {}
+    carried: Optional[Dict[str, str]] = None
+    for s in summaries:
+        for key in s["pending_keys"]:  # type: ignore[union-attr]
+            resolutions[key] = dict(carried) if carried is not None else None
+        for norm in s["new_norms"]:  # type: ignore[union-attr]
+            if norm not in chain_of_norm:
+                chain_of_norm[norm] = len(chain_of_norm)
+        if s["last_entity"] is not None:
+            carried = dict(s["last_entity"])  # type: ignore[arg-type]
+    return chain_of_norm, resolutions

@@ -74,6 +74,78 @@ def link(annotated: rd.Dataset) -> rd.Dataset:
     )
 
 
+def link_salted(
+    annotated: rd.Dataset,
+    bucket_size: int = 512,
+) -> rd.Dataset:
+    """Skew-safe linking: the salted-key two-phase variant (north_rule).
+
+    Phase A groups by the salted key ``(conv_id, turn_idx // bucket_size)``
+    so no group ever exceeds ``bucket_size`` turns — a 10^7-turn conversation
+    becomes 20k bounded groups instead of one giant one. Phase B reduces the
+    per-bucket *summaries only* (tiny) per conv_id. Phase C applies the
+    resolutions with a broadcast map. Output is identical to :func:`link`
+    (asserted by tests on skewed data).
+
+    The resolution tables are O(entity vocabulary + leading pronouns), far
+    smaller than mentions; they are broadcast via ``ray.put``. At a scale
+    where even those exceed worker heap, phase C becomes a hash-partitioned
+    join on (conv_id) — same semantics, one more shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.link import (
+        finalize_bulk_rows,
+        link_bucket_group,
+        resolve_conv_group,
+    )
+
+    turns = annotated.select_columns(
+        ["conv_id", "turn_idx", "ok", "link_json", "error"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pc.cast(pc.floor(pc.divide(
+                pc.cast(t.column("turn_idx"), pa.float64()),
+                float(bucket_size))), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    bulk = turns.groupby(["conv_id", "bucket"]).map_groups(
+        link_bucket_group, batch_format="pandas"
+    ).materialize()
+
+    summaries = bulk.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "summary")).select(
+            ["conv_id", "bucket", "summary_json"]
+        ),
+        batch_format="pyarrow",
+    )
+    resolutions = summaries.groupby("conv_id").map_groups(
+        resolve_conv_group, batch_format="pandas"
+    ).to_pandas()
+
+    chain_maps: Dict[str, Dict[str, int]] = {}
+    pendings: Dict[tuple, Optional[dict]] = {}
+    for row in resolutions.itertuples(index=False):
+        if row.kind == "chain":
+            chain_maps.setdefault(row.conv_id, {})[row.key] = int(row.chain_id)
+        elif row.kind == "pending":
+            pendings[(row.conv_id, row.key)] = (
+                {"surface": row.surface, "norm": row.norm,
+                 "entity_type": row.entity_type}
+                if row.surface else None
+            )
+    chains_ref = ray.put(chain_maps)
+    pendings_ref = ray.put(pendings)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["row_kind"] != "summary"]
+        return finalize_bulk_rows(batch, ray.get(chains_ref), ray.get(pendings_ref))
+
+    return bulk.map_batches(finalize, batch_format="pandas")
+
+
 def split_linked(linked: rd.Dataset):
     """Vectorized split of the union table into mentions / raw triples."""
     import pyarrow.compute as pc
@@ -232,6 +304,7 @@ def run_kg_pipeline(
     transcript_path: str,
     canon_threshold: float = DEFAULT_THRESHOLD,
     concurrency: Optional[int] = None,
+    salted_bucket_size: Optional[int] = None,
 ) -> Dict[str, rd.Dataset]:
     """Build the KG in memory; returns the component Datasets.
 
@@ -241,7 +314,10 @@ def run_kg_pipeline(
     """
     ds = read_transcripts(transcript_path)
     annotated = annotate(ds, concurrency=concurrency, emit="link")
-    linked = link(annotated).materialize()
+    if salted_bucket_size:
+        linked = link_salted(annotated, bucket_size=salted_bucket_size).materialize()
+    else:
+        linked = link(annotated).materialize()
     mentions, triples = split_linked(linked)
     canon_map = build_canon_map(
         surfaces_for_canon(mentions, triples), threshold=canon_threshold

@@ -260,3 +260,94 @@ def transcript_ordering(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.groupby("source").map_groups(order_group, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Additional relational coverage
+# --------------------------------------------------------------------------
+
+def parts_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type part stats: count + avg retail price (sum/count decomposed)."""
+    parts = _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
+    agg = preagg_groupby(parts, ["p_type"], {
+        "n_parts": ("p_retailprice", "count"),
+        "sum_price": ("p_retailprice", "sum"),
+    })
+    agg["avg_price"] = round_half_away(
+        (agg["sum_price"] / agg["n_parts"]).to_numpy(), 4
+    )
+    agg = agg.drop(columns=["sum_price"])
+    return agg.sort_values("p_type").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI join: customers with no orders (J1-style semi-join,
+    negated). The order-key set is the broadcast small side. Returns a
+    schema-stable DataFrame even when the result is empty."""
+    from ..stages.relational import broadcast_semi_join
+
+    orders = _read_pdf(sf_dir, "orders", ["o_custkey"])
+    have = set(orders["o_custkey"].tolist())
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    df = broadcast_semi_join(cust, have, "c_custkey", anti=True).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype=object)})
+    return df[["c_custkey", "c_name"]].sort_values("c_custkey").reset_index(drop=True)
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT via map-side per-batch dedup + tiny combine (never a full
+    row shuffle: the per-batch distinct stream is vocabulary-sized)."""
+    events = _read(sf_dir, "events", columns=["event_type"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates("event_type")
+
+    parts = events.map_batches(per_batch, batch_format="pandas").to_pandas()
+    return parts.drop_duplicates("event_type").sort_values("event_type") \
+                .reset_index(drop=True)
+
+
+def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user min/max/count/sum over values (mergeable aggregates)."""
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    agg = preagg_groupby(events, ["user_id"], {
+        "n_events": ("value", "count"),
+        "value_sum": ("value", "sum"),
+        "value_min": ("value", "min"),
+        "value_max": ("value", "max"),
+    })
+    agg["value_sum"] = round_half_away(agg["value_sum"].to_numpy(), 6)
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+def lineitem_discount_bands(sf_dir: str) -> pd.DataFrame:
+    """Vectorized CASE banding (pyarrow.compute) + pre-agg groupby."""
+    li = _read(sf_dir, "lineitem", columns=["l_discount", "l_extendedprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_discount")
+        bands = pc.if_else(
+            pc.less(d, 0.03), pa.scalar("low"),
+            pc.if_else(pc.less(d, 0.07), pa.scalar("mid"), pa.scalar("high")),
+        )
+        return batch.append_column("band", bands)
+
+    agg = preagg_groupby(
+        li.map_batches(band, batch_format="pyarrow"),
+        ["band"],
+        {"n_items": ("l_extendedprice", "count"),
+         "sum_price": ("l_extendedprice", "sum")},
+    )
+    agg["sum_price"] = round_half_away(agg["sum_price"].to_numpy(), 2)
+    return agg.sort_values("band").reset_index(drop=True)
+
+
+def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k (LSH-bucketed scale path; recall measured vs the
+    brute-force baseline in tests)."""
+    from ..stages.ann import knn_lsh
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(emb, _query_vector(sf_dir), k=10, n_planes=6, multiprobe=3)

@@ -1,0 +1,58 @@
+"""Resumable materialization: markers, idempotence, partial-resume equality."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+def _triples(out, ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(out["triples"]).to_pandas().sort_values(
+        ["conv_id", "turn_idx", "pred", "subj", "obj"]
+    ).reset_index(drop=True)
+
+
+def test_materialize_write_resume(ray_session, tiny_transcripts, tmp_path):
+    from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
+    from ontonotes_5_parsing_ray.state.checkpoint import (
+        pending_partitions,
+        read_lineage,
+    )
+
+    out_dir = str(tmp_path / "kg")
+    out = materialize_kg(tiny_transcripts, out_dir, num_partitions=4,
+                         concurrency=2)
+    first = _triples(out, ray_session)
+    assert len(first) > 100
+
+    linked_dir = os.path.join(out_dir, "linked")
+    assert pending_partitions(linked_dir, 4) == []
+    lineage = read_lineage(linked_dir)
+    assert len(lineage) == 4
+    assert sum(l["rows"] for l in lineage) > 0
+    assert all(l["engine_version"] for l in lineage)
+
+    # idempotent rerun: markers present -> nothing recomputed, same output
+    mtime_before = os.path.getmtime(os.path.join(linked_dir, "part-00001"))
+    out2 = materialize_kg(tiny_transcripts, out_dir, num_partitions=4,
+                          concurrency=2)
+    assert os.path.getmtime(os.path.join(linked_dir, "part-00001")) == mtime_before
+    pd.testing.assert_frame_equal(first, _triples(out2, ray_session))
+
+    # partial resume: kill one linked partition + downstream stage markers,
+    # rerun -> only that partition recomputed; final output identical
+    shutil.rmtree(os.path.join(linked_dir, "part-00002"))
+    os.remove(os.path.join(linked_dir, "_DONE-00002"))
+    for stage in ("mentions", "triples", "nodes", "edges", "errors", "canonmap"):
+        marker = os.path.join(out_dir, stage, "_DONE-00000")
+        if os.path.isfile(marker):
+            os.remove(marker)
+    assert pending_partitions(linked_dir, 4) == [2]
+    untouched_mtime = os.path.getmtime(os.path.join(linked_dir, "part-00001"))
+    out3 = materialize_kg(tiny_transcripts, out_dir, num_partitions=4,
+                          concurrency=2)
+    assert os.path.getmtime(os.path.join(linked_dir, "part-00001")) == untouched_mtime
+    pd.testing.assert_frame_equal(first, _triples(out3, ray_session))

@@ -19,6 +19,8 @@ SQL_PAIRED = [
     "top_customers", "events_hourly", "events_sessions",
     "docs_exact_dedup", "docs_token_stats", "docs_lang_counts",
     "emb_knn_top10", "emb_label_stats", "transcript_ordering",
+    "parts_by_type", "customers_without_orders", "lineitem_discount_bands",
+    "events_user_stats", "distinct_event_types",
 ]
 
 
@@ -68,6 +70,7 @@ def test_every_query_has_an_oracle_or_rationale():
     rows_only = qs - sqls
     assert all(
         n.startswith(("kg_", "docs_langid", "docs_fingerprints",
-                      "docs_minhash", "docs_simhash", "media_"))
+                      "docs_minhash", "docs_simhash", "media_",
+                      "emb_knn_lsh"))
         for n in rows_only
     ), rows_only
