@@ -120,23 +120,30 @@ def fuzzy_token_bounds(
         return token_bounds
 
     target = list(tokens)
-    D = np.zeros((n_s + 1, n_t + 1), dtype=np.float32)
-    D[0, 1:] = np.cumsum(np.full(n_t, insertion_cost, dtype=np.float32))
-    D[1:, 0] = np.cumsum(np.full(n_s, deletion_cost, dtype=np.float32))
-    for i in range(1, n_s + 1):
-        s_tok = source_tokens[i - 1]
-        for j in range(1, n_t + 1):
-            t_tok = target[j - 1]
-            if s_tok == t_tok:
-                sub = 0.0
-            else:
-                # tokens repeat heavily across turns -> memoized distance
-                sub = levenshtein_cached(s_tok, t_tok) / max(len(s_tok), len(t_tok))
-            D[i, j] = min(
-                D[i - 1, j] + deletion_cost,
-                D[i, j - 1] + insertion_cost,
-                D[i - 1, j - 1] + sub,
+    # Substitution-cost matrix: 0 for equal tokens, else length-normalized
+    # edit distance (memoized — tokens repeat heavily across turns).
+    sub = np.empty((n_s, n_t), dtype=np.float32)
+    for i, s_tok in enumerate(source_tokens):
+        ls = len(s_tok)
+        row = sub[i]
+        for j, t_tok in enumerate(target):
+            row[j] = 0.0 if s_tok == t_tok else (
+                levenshtein_cached(s_tok, t_tok) / max(ls, len(t_tok))
             )
+    # Row-vectorized DP: D[i,j] = min(D[i-1,j]+del, D[i,j-1]+ins, D[i-1,j-1]+sub)
+    # The D[i,j-1] dependence is a prefix-min:
+    #   A[j] = min(D[i-1,j]+del, D[i-1,j-1]+sub[j-1])
+    #   D[i,j] = min_{k<=j} A[k] + (j-k)*ins
+    #          = cummin(A - j*ins)[j] + j*ins
+    D = np.zeros((n_s + 1, n_t + 1), dtype=np.float32)
+    ins_ramp = (np.arange(n_t + 1, dtype=np.float32) * insertion_cost)
+    D[0, :] = ins_ramp
+    for i in range(1, n_s + 1):
+        prev = D[i - 1]
+        A = np.empty(n_t + 1, dtype=np.float32)
+        A[0] = prev[0] + deletion_cost
+        np.minimum(prev[1:] + deletion_cost, prev[:-1] + sub[i - 1], out=A[1:])
+        D[i] = np.minimum.accumulate(A - ins_ramp) + ins_ramp
 
     # Backtrace with the reference's exact tie-breaking (utils.py:338-365).
     i, j = n_s, n_t
