@@ -69,10 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": q.docs_fingerprints,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
+        "docs_bpe_tokens": q.docs_bpe_tokens,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
         "emb_label_stats": q.emb_label_stats,
+        "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)
         "transcript_ordering": q.transcript_ordering,
         # knowledge-graph pipeline (non-SQL; gated by pytest P/R vs oracle)

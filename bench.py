@@ -143,8 +143,50 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> dict:
+    """Per-stage introspection: runs the KG pipeline once and prints Ray
+    Data's per-operator wall/CPU breakdown (ds.stats()) to stderr, one
+    summary JSON to stdout. Used to verify wall time is dominated by useful
+    compute (annotation) rather than exchange overhead."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "5000"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        annotate, link, read_transcripts,
+    )
+    from ontonotes_5_parsing_ray.sources.transcripts import (
+        default_transcripts_dir, generate_transcripts,
+    )
+
+    tdir = generate_transcripts(
+        default_transcripts_dir(f"bench_{n_convs}"),
+        n_convs=n_convs, seed=42, unique_refs=True, shard_count=16,
+    )
+    t0 = time.time()
+    linked = link(annotate(read_transcripts(tdir),
+                           concurrency=max(2, num_cpus - 2),
+                           emit="link")).materialize()
+    wall = time.time() - t0
+    rows = linked.count()
+    print(linked.stats(), file=sys.stderr)
+    ray.shutdown()
+    return {"metric": "annotate_link_sec", "value": round(wall, 3),
+            "unit": "sec", "rows": int(rows), "num_cpus": num_cpus}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats()))
     else:
         print(json.dumps(run_bench()))

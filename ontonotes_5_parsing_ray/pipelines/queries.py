@@ -351,3 +351,27 @@ def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_lsh(emb, _query_vector(sf_dir), k=10, n_planes=6, multiprobe=3)
+
+
+def emb_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (hyperplane-bucket blocking +
+    in-bucket exact cosine verify). Schema-stable when empty."""
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=8).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def docs_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """BPE-ish subword token counts per document (rows-only: the chunking
+    heuristic has no faithful SQL twin)."""
+    from ..stages.textstats import add_bpe_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_bpe_token_count, batch_format="pandas") \
+               .select_columns(["doc_id", "n_bpe_tokens"])

@@ -119,7 +119,7 @@ DRIVER_CLUSTER_LIMIT = 100_000
 def build_canon_map(
     surfaces: rd.Dataset,
     threshold: float = DEFAULT_THRESHOLD,
-    max_rounds: int = 16,
+    max_rounds: int = 64,
     driver_limit: int = DRIVER_CLUSTER_LIMIT,
 ) -> rd.Dataset:
     """``Dataset[norm] -> Dataset[norm, canon]`` clustering (auto small/large path)."""
@@ -222,7 +222,13 @@ def build_canon_map(
     # the driver; the BROADCAST_LIMIT guard in apply_canon_map documents the
     # same assumption. For a >5e7-entity vocabulary, swap nbr_labels for a
     # hash-partitioned groupby join (same semantics, one extra shuffle/round).
+    # Rounds needed = eccentricity of each component from its min-label
+    # node + 1 to observe stability. Real surface-variant clusters are
+    # shallow; the cap guards adversarial chains — hitting it raises rather
+    # than silently returning unconverged labels (a 16-round cap once
+    # produced wrong components on a dense 1.2k-surface test graph).
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         labels = propagate(labels)
         sig = labels.map_batches(
@@ -236,8 +242,14 @@ def build_canon_map(
             batch_format="pyarrow",
         ).sum("h")
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds; "
+            "raise max_rounds (component chains deeper than the cap)"
+        )
 
     return labels.map_batches(
         lambda t: pa.table({

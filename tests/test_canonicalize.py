@@ -43,3 +43,35 @@ def test_distributed_path_equals_driver_kernel(ray_session):
     # driver_limit=0 forces the band-groupby + min-label-propagation path
     dist = {r["norm"]: r["canon"] for r in build_canon_map(ds, driver_limit=0).take_all()}
     assert dist == cluster_surfaces(norms)
+
+
+def test_distributed_path_at_mid_scale(ray_session):
+    """2k+ surface vocabulary with planted variant clusters: the distributed
+    label-propagation path must equal the driver kernel exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.canonicalize import build_canon_map
+
+    rng = np.random.RandomState(3)
+    syllables = ["bar", "zan", "kel", "mor", "tay", "vin", "qua", "led",
+                 "nim", "sor", "pex", "dul"]
+    norms = set()
+    for _ in range(800):
+        base = "".join(rng.choice(syllables, 2)) + " " + "".join(rng.choice(syllables, 2))
+        norms.add(base)
+        if rng.rand() < 0.4:
+            norms.add(base + " inc")        # suffix variant -> should cluster
+        if rng.rand() < 0.2:
+            norms.add(base + " corporation")
+    norms = sorted(norms)
+    assert len(norms) > 1200
+    ds = rd.from_arrow(pa.table({"norm": pa.array(norms, pa.string())}))
+    dist = {r["norm"]: r["canon"] for r in
+            build_canon_map(ds, driver_limit=0).take_all()}
+    driver = cluster_surfaces(norms)
+    assert dist == driver
+    # the planted variants actually merged (clustering did real work)
+    merged = sum(1 for k, v in driver.items() if k != v)
+    assert merged > 100

@@ -70,7 +70,7 @@ def test_every_query_has_an_oracle_or_rationale():
     rows_only = qs - sqls
     assert all(
         n.startswith(("kg_", "docs_langid", "docs_fingerprints",
-                      "docs_minhash", "docs_simhash", "media_",
-                      "emb_knn_lsh"))
+                      "docs_minhash", "docs_simhash", "docs_bpe",
+                      "media_", "emb_knn_lsh", "emb_near_dup"))
         for n in rows_only
     ), rows_only
