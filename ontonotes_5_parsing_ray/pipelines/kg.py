@@ -37,6 +37,7 @@ from ..functions.kgrules import normalize_surface
 from ..stages.annotate import AnnotateTurns
 from ..stages.canonicalize import build_canon_map, canon_map_to_dict
 from ..stages.link import link_group
+from ..stages.util import pool_size
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
 
@@ -57,7 +58,7 @@ def annotate(
         fn_constructor_kwargs={"emit": emit},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or 4,
+        concurrency=pool_size(concurrency or 4),
         num_cpus=1,
     )
 

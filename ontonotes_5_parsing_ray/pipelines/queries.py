@@ -174,8 +174,11 @@ def docs_exact_dedup(sf_dir: str) -> rd.Dataset:
 
 def docs_token_stats(sf_dir: str) -> rd.Dataset:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.util import pool_size
+
     stats = docs.map_batches(
-        TextStats, batch_format="pandas", batch_size=1024, concurrency=2
+        TextStats, batch_format="pandas", batch_size=1024,
+        concurrency=pool_size(2),
     )
     return stats.select_columns(
         ["doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "stopword_ratio"]

@@ -151,8 +151,11 @@ def build_canon_map(
     # Distributed path: global distinct via groupby, then LSH + components.
     uniq = distinct_norms(surfaces).materialize()
 
+    from .util import pool_size
+
     banded = uniq.map_batches(
-        BandKeys, batch_format="pyarrow", concurrency=2, batch_size=4096
+        BandKeys, batch_format="pyarrow", concurrency=pool_size(2),
+        batch_size=4096,
     )
     pairs = banded.groupby("band_key").map_groups(
         lambda g: _block_pairs(g, threshold), batch_format="pandas"

@@ -95,7 +95,10 @@ def decode_media(media: rd.Dataset, mode: str = "fake") -> rd.Dataset:
     """Small batches + explicit actor pool: the binary column dominates block
     size, so batch_size stays low (SURVEY.md 'large binary payloads need
     small batches')."""
+    from .util import pool_size
+
     return media.map_batches(
         DecodeMedia, fn_constructor_kwargs={"mode": mode},
-        batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1,
+        batch_format="pyarrow", batch_size=32, concurrency=pool_size(2),
+        num_cpus=1,
     )
