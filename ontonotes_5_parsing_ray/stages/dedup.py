@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from functools import lru_cache
+
 from ..functions.hashing import (
     MinHasher,
     char_shingles,
@@ -37,6 +39,63 @@ from ..functions.hashing import (
     stable_hash64,
     word_shingles,
 )
+
+
+@lru_cache(maxsize=65536)
+def _word_shingles_cached(text: str, k: int) -> frozenset:
+    """Per-worker memo: a doc lands in every one of its LSH bands, so its
+    shingle set would otherwise be recomputed bands-times during verify."""
+    return frozenset(word_shingles(text.split(), k))
+
+# Candidate-pair generation: per-bucket pair enumeration. ray.data's
+# map_groups invokes the UDF once per group; with LSH buckets averaging ~2
+# members that is tens of thousands of pandas constructions (~25s for 76k
+# buckets at sf0.1). Below ``driver_limit`` band rows we therefore collect
+# the (bucket, id) pairs to the driver and enumerate there (milliseconds);
+# above it, the distributed groupby path runs — same output, tested equal.
+CANDIDATE_DRIVER_LIMIT = 2_000_000
+
+
+def _candidate_pairs(
+    bucket_rows: rd.Dataset,
+    bucket_col: str,
+    id_col: str,
+    driver_limit: int = CANDIDATE_DRIVER_LIMIT,
+) -> rd.Dataset:
+    """Dedup'd id pairs (a < b) sharing at least one bucket."""
+    sample = bucket_rows.take(driver_limit)
+    if len(sample) < driver_limit:
+        by_bucket: dict = {}
+        for r in sample:
+            by_bucket.setdefault(r[bucket_col], []).append(r[id_col])
+        pairs = set()
+        for ids in by_bucket.values():
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        ordered = sorted(pairs)
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, _ in ordered], pa.int64()),
+            "doc_b": pa.array([b for _, b in ordered], pa.int64()),
+        }))
+
+    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col]))
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    return (
+        bucket_rows.groupby(bucket_col)
+        .map_groups(candidates, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
 
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
@@ -100,57 +159,84 @@ def minhash_near_dup_pairs(
     shingle_k: int = 3,
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, exact word-shingle Jaccard >=
-    threshold), candidates generated only inside LSH bands.
+    threshold).
 
-    The verify step needs the two texts; candidate groups are small
-    (band-bucket collisions), so texts travel with the band rows — at 100 TB
-    swap the payload for a second hash-join against the doc store keyed by
-    doc_id (documented partitioning assumption).
+    Staging (each pair verified exactly once):
+      1. band rows carry IDS ONLY (no text through the shuffle);
+      2. ``groupby(band_key)`` emits candidate id pairs;
+      3. ``groupby(a, b)`` dedups candidates BEFORE any verification
+         (the same pair collides in many bands);
+      4. verify per batch: a vectorized minhash-signature screen drops
+         pairs whose estimated similarity is far below threshold, then
+         exact Jaccard confirms — zero false positives.
+
+    Texts/signatures for step 4 come from a broadcast of the doc table —
+    the small-side path. At 100 TB, replace the broadcast with a
+    hash-partitioned join of candidates against the doc store on doc_id
+    (same semantics, one extra shuffle).
     """
+    import ray
 
     hasher = MinHasher(num_perm)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_band, out_id, out_text = [], [], []
+        out_band, out_id = [], []
         for doc_id, text in zip(doc_ids, texts):
             sig = hasher.signature(word_shingles(text.split(), shingle_k))
             for key in hasher.band_keys(sig, bands):
                 out_band.append(key)
                 out_id.append(doc_id)
-                out_text.append(text)
         return pa.table({
             "band_key": pa.array(out_band, pa.string()),
             "doc_id": pa.array(out_id, pa.int64()),
-            "text": pa.array(out_text, pa.string()),
         })
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        texts = rows["text"].tolist()
-        shingle_sets = [word_shingles(t.split(), shingle_k) for t in texts]
+    pairs = _candidate_pairs(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow"),
+        "band_key", "doc_id",
+    )
+
+    # Broadcast the doc payloads once (signatures + texts).
+    doc_df = docs.select_columns(["doc_id", "text"]).to_pandas()
+    sig_matrix = np.stack([
+        hasher.signature(word_shingles(t.split(), shingle_k))
+        for t in doc_df["text"]
+    ])
+    payload_ref = ray.put({
+        "texts": dict(zip(doc_df["doc_id"], doc_df["text"])),
+        "sig_index": dict(zip(doc_df["doc_id"], range(len(doc_df)))),
+        "sigs": sig_matrix,
+    })
+    screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        payload = ray.get(payload_ref)
+        texts, sig_index, sigs = (
+            payload["texts"], payload["sig_index"], payload["sigs"],
+        )
+        if not len(batch):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        ia = np.array([sig_index[d] for d in batch["doc_a"]])
+        ib = np.array([sig_index[d] for d in batch["doc_b"]])
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
         a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(shingle_sets[i], shingle_sets[j])
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(round(jac, 6))
+        for (a, b), e in zip(zip(batch["doc_a"], batch["doc_b"]), est):
+            if e < screen:
+                continue
+            jac = jaccard(_word_shingles_cached(texts[a], shingle_k),
+                          _word_shingles_cached(texts[b], shingle_k))
+            if jac >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(jac, 6))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
 
-    pairs = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
-    )
-    # same pair can surface from several bands -> exact dedup of pairs
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def simhash_near_dup_pairs(
@@ -161,46 +247,46 @@ def simhash_near_dup_pairs(
     pair with <= 3 differing quarters collides in >= 1 quarter), verify
     Hamming distance inside buckets."""
 
+    import ray
+
     def sig_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_bucket, out_id, out_sig = [], [], []
+        out_bucket, out_id = [], []
         for doc_id, text in zip(doc_ids, texts):
             sig = simhash64(text.split())
             for q in range(4):
                 quarter = (sig >> (q * 16)) & 0xFFFF
                 out_bucket.append(f"{q}:{quarter:04x}")
                 out_id.append(doc_id)
-                out_sig.append(sig & ((1 << 62) - 1))
         return pa.table({
             "bucket": pa.array(out_bucket, pa.string()),
             "doc_id": pa.array(out_id, pa.int64()),
-            "sig": pa.array(out_sig, pa.int64()),
         })
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        sigs = rows["sig"].tolist()
+    pairs = _candidate_pairs(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(sig_rows, batch_format="pyarrow"),
+        "bucket", "doc_id",
+    )
+
+    doc_df = docs.select_columns(["doc_id", "text"]).to_pandas()
+    sig_ref = ray.put({
+        int(d): simhash64(t.split()) for d, t in zip(doc_df["doc_id"], doc_df["text"])
+    })
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = ray.get(sig_ref)
         a_out, b_out, h_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(sigs[i], sigs[j])
-                if h <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    h_out.append(h)
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            h = hamming64(sigs[a], sigs[b])
+            if h <= max_hamming:
+                a_out.append(a)
+                b_out.append(b)
+                h_out.append(h)
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": h_out})
 
-    pairs = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def embedding_near_dup_pairs(
