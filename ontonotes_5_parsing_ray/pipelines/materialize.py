@@ -139,23 +139,30 @@ def materialize_kg(
             if salted_bucket_size else link(annotated)
         )
         linked = _add_partition_col(linked, num_partitions).materialize()
+        # Per-partition row counts (lineage metrics) via per-batch partials.
+        counts_df = linked.map_batches(
+            lambda t: t.group_by("part").aggregate([("part", "count")]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        rows_by_part = counts_df.groupby("part")["part_count"].sum().to_dict()
+        # ONE hive-partitioned write for every pending partition, then
+        # atomic per-partition renames + markers (resume granularity kept).
+        tmp_root = os.path.join(linked_dir, ".tmp-write")
+        if os.path.isdir(tmp_root):
+            shutil.rmtree(tmp_root)
+        linked.write_parquet(tmp_root, partition_cols=["part"])
         for p in pending:
             part_dir = os.path.join(linked_dir, f"part-{p:05d}")
-            tmp = part_dir + ".tmp"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
-            subset = linked.map_batches(
-                lambda t, p=p: t.filter(pc.equal(t.column("part"), p)),
-                batch_format="pyarrow",
-            )
-            rows = subset.count()
-            subset.write_parquet(tmp)
-            os.makedirs(tmp, exist_ok=True)  # empty partition -> empty dir
-            os.replace(tmp, part_dir)
-            write_lineage(linked_dir, p, "linked", rows,
+            hive_dir = os.path.join(tmp_root, f"part={p}")
+            if os.path.isdir(hive_dir):
+                os.replace(hive_dir, part_dir)
+            else:
+                os.makedirs(part_dir, exist_ok=True)  # empty partition
+            write_lineage(linked_dir, p, "linked", int(rows_by_part.get(p, 0)),
                           extra={"input": transcript_path})
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     part_dirs = [
         os.path.join(linked_dir, f"part-{p:05d}") for p in range(num_partitions)
