@@ -57,13 +57,22 @@ def broadcast_semi_join(
     return left.map_batches(fil, batch_format="pandas")
 
 
+# Partial-row count above which the final combine runs as a distributed
+# Ray groupby instead of a driver-side pandas groupby. Below it, shipping
+# vocabulary-sized partials to the driver is faster than an all-to-all.
+PREAGG_DRIVER_LIMIT = 2_000_000
+
+
 def preagg_groupby(
     ds: rd.Dataset,
     keys: Sequence[str],
     aggs: Dict[str, tuple],
+    driver_limit: int = PREAGG_DRIVER_LIMIT,
 ) -> pd.DataFrame:
-    """Pre-aggregated groupby: per-batch pandas combine first, then a single
-    driver-side combine of the (keys-cardinality x batches) partials.
+    """Pre-aggregated groupby: per-batch pandas combine first, then a final
+    combine of the (keys-cardinality x batches) partials — on the driver for
+    small key spaces, as a distributed ``groupby().aggregate`` when the
+    partials exceed ``driver_limit`` rows (high-cardinality keys).
 
     ``aggs`` maps output column -> (input column, kind) with kind in
     {sum, count, min, max}; means are derived by the caller from sum+count
@@ -88,19 +97,37 @@ def preagg_groupby(
                 raise ValueError(kind)
         return pd.DataFrame(out).reset_index()
 
-    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
-    if not len(parts):
-        return parts
-    g = parts.groupby(keys, sort=True, dropna=False)
-    final = {}
+    parts_ds = ds.map_batches(partials, batch_format="pandas")
+    sample = parts_ds.take(driver_limit)
+    if len(sample) < driver_limit:
+        parts = pd.DataFrame(sample)
+        if not len(parts):
+            return parts
+        g = parts.groupby(keys, sort=True, dropna=False)
+        final = {}
+        for out_col, (_in, kind) in aggs.items():
+            if kind in ("sum", "count"):
+                final[out_col] = g[out_col].sum()
+            elif kind == "min":
+                final[out_col] = g[out_col].min()
+            elif kind == "max":
+                final[out_col] = g[out_col].max()
+        return pd.DataFrame(final).reset_index()
+
+    # Distributed final combine (sum-of-counts == count, so count partials
+    # merge with Sum).
+    from ray.data.aggregate import Max as RMax, Min as RMin, Sum as RSum
+
+    ray_aggs = []
     for out_col, (_in, kind) in aggs.items():
         if kind in ("sum", "count"):
-            final[out_col] = g[out_col].sum()
+            ray_aggs.append(RSum(out_col, alias_name=out_col))
         elif kind == "min":
-            final[out_col] = g[out_col].min()
+            ray_aggs.append(RMin(out_col, alias_name=out_col))
         elif kind == "max":
-            final[out_col] = g[out_col].max()
-    return pd.DataFrame(final).reset_index()
+            ray_aggs.append(RMax(out_col, alias_name=out_col))
+    out = parts_ds.groupby(keys).aggregate(*ray_aggs).to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def topk(df: pd.DataFrame, by: List[str], ascending: List[bool], k: int) -> pd.DataFrame:

@@ -100,3 +100,31 @@ def test_stats_pipelines(ray_session, tiny_transcripts):
     assert {"PERSON", "ORG", "GPE"} <= set(ef["tag"])
     tf = tag_frequencies_by_kind(ann)
     assert {"morphology", "syntax", "entities"} == set(tf["kind"])
+
+
+def test_preagg_groupby_distributed_combine_equals_driver(ray_session):
+    """Force the distributed final combine (driver_limit=1) and compare with
+    the driver-side path on the same input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import preagg_groupby
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.randint(0, 40, n).astype("int64")),
+        "v": pa.array(rng.rand(n)),
+    })
+    ds = rd.from_arrow(tbl)
+    aggs = {"n": ("v", "count"), "s": ("v", "sum"),
+            "lo": ("v", "min"), "hi": ("v", "max")}
+    small = preagg_groupby(ds, ["k"], aggs).sort_values("k").reset_index(drop=True)
+    big = preagg_groupby(ds, ["k"], aggs, driver_limit=1) \
+        .sort_values("k").reset_index(drop=True)
+    assert (small["k"] == big["k"]).all()
+    assert (small["n"] == big["n"]).all()
+    assert np.allclose(small["s"], big["s"])
+    assert np.allclose(small["lo"], big["lo"])
+    assert np.allclose(small["hi"], big["hi"])
