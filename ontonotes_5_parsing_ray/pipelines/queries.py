@@ -26,7 +26,11 @@ from ..stages.ann import knn_bruteforce, label_centroids
 from ..stages.dedup import exact_dedup, minhash_near_dup_pairs, simhash_near_dup_pairs
 from ..stages.relational import (
     broadcast_join,
+    broadcast_semi_join,
+    distributed_topk,
+    hash_join,
     preagg_groupby,
+    preagg_groupby_ds,
     sessionize_events,
     topk,
     windowed_event_counts,
@@ -80,50 +84,67 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Revenue of BUILDING-segment orders: two broadcast joins (customer and
-    orders are the small sides), lineitem streams; top-10 on the driver."""
+    """Revenue of BUILDING-segment orders. Only the true dimension (customer)
+    is driver-resident: its BUILDING key set is broadcast to semi-join the
+    orders STREAM; orders ⋈ lineitem is a distributed :func:`hash_join`
+    (both facts stay in the cluster); the high-cardinality per-order
+    aggregate combines distributively and only ``blocks x 10`` partial
+    top-k rows ever reach the driver."""
     cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    orders = _read_pdf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_f = broadcast_semi_join(orders, building, "o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(
-        li, orders[["o_orderkey"]].rename(columns={"o_orderkey": "l_orderkey"}),
-        on=["l_orderkey"],
-    )
+    joined = hash_join(li, orders_f, on=["l_orderkey"])
 
     def revenue_col(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
         return batch[["l_orderkey", "revenue"]]
 
-    agg = preagg_groupby(
+    agg = preagg_groupby_ds(
         joined.map_batches(revenue_col, batch_format="pandas"),
         ["l_orderkey"], {"revenue": ("revenue", "sum")},
     )
-    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 2)
-    return topk(agg, ["revenue", "l_orderkey"], [False, True], 10)
+
+    def rounded(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = round_half_away(batch["revenue"].to_numpy(), 2)
+        return batch
+
+    return distributed_topk(
+        agg.map_batches(rounded, batch_format="pandas"),
+        ["revenue", "l_orderkey"], [False, True], 10,
+    )[["l_orderkey", "revenue"]]
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue by customer nation: dimension chain region<-nation<-customer
-    prejoined on the driver (tiny), broadcast to the orders->lineitem stream."""
+    """Revenue by customer nation. The dimension chain region<-nation<-
+    customer is prejoined on the driver (dimensions only) and broadcast to
+    the streaming orders scan; orders ⋈ lineitem is a distributed hash join
+    — the orders fact never touches the driver."""
     nation = _read_pdf(sf_dir, "nation")
     region = _read_pdf(sf_dir, "region")
     cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read_pdf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
               .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    orders = orders.merge(dim[["c_custkey", "n_name"]],
-                          left_on="o_custkey", right_on="c_custkey")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ords = broadcast_join(
+        orders,
+        dim[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"}),
+        on=["o_custkey"],
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]).rename_columns(
+            ["l_orderkey", "n_name"]),
+        batch_format="pyarrow",
+    )
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(
-        li,
-        orders[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"}),
-        on=["l_orderkey"],
-    )
+    joined = hash_join(li, ords, on=["l_orderkey"])
 
     def rev(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -139,16 +160,27 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def top_customers(sf_dir: str) -> pd.DataFrame:
-    """Top-10 customers by total order price (streaming orders aggregate +
-    broadcast name join)."""
+    """Top-10 customers by total order price: fully distributed per-customer
+    aggregate (high-cardinality at scale) + broadcast name join (customer is
+    a dimension) + partial top-k; the driver sees only ``blocks x 10`` rows."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = preagg_groupby(orders, ["o_custkey"],
-                         {"total_price": ("o_totalprice", "sum")})
-    agg["total_price"] = round_half_away(agg["total_price"].to_numpy(), 2)
+    agg = preagg_groupby_ds(orders, ["o_custkey"],
+                            {"total_price": ("o_totalprice", "sum")})
     cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_name"])
-    agg = agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    return topk(agg[["c_custkey", "c_name", "total_price"]],
-                ["total_price", "c_custkey"], [False, True], 10)
+
+    def rounded(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.copy()
+        batch["total_price"] = round_half_away(batch["total_price"].to_numpy(), 2)
+        from ..stages.relational import to_arrow
+        return to_arrow(batch.rename(columns={"o_custkey": "c_custkey"}))
+
+    named = broadcast_join(
+        agg.map_batches(rounded, batch_format="pandas"),
+        cust, on=["c_custkey"],
+    )
+    return distributed_topk(
+        named, ["total_price", "c_custkey"], [False, True], 10,
+    )[["c_custkey", "c_name", "total_price"]]
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:

@@ -1,11 +1,13 @@
-"""Relational building blocks: broadcast joins, pre-aggregated groupbys,
-top-k, windowed event aggregates.
+"""Relational building blocks: broadcast joins, distributed hash joins,
+pre-aggregated groupbys, top-k, windowed event aggregates.
 
 These power the TPC-H-ish queries in ``__ray_entry__`` and correspond to the
 reference's lookup/aggregate operators (SURVEY.md J1 broadcast semi-join,
 A1-A4 aggregates, K1 top-k): the small side is materialized once, shipped
 via ``ray.put``, and probed per batch — no shuffle; the wide aggregates
-pre-combine inside ``map_batches`` before the (tiny) final groupby.
+pre-combine inside ``map_batches`` before the (tiny) final groupby; fact-to-
+fact joins go through :func:`hash_join` (both sides hash-partitioned on the
+key — never materialized to the driver).
 """
 
 from __future__ import annotations
@@ -20,6 +22,18 @@ import ray.data as rd
 from ..functions.rounding import round_half_away
 
 
+def to_arrow(df: pd.DataFrame) -> pa.Table:
+    """Convert a UDF's pandas result to an Arrow table.
+
+    Blocks produced by pandas-returning UDFs are STORED as pandas blocks,
+    and every downstream shuffle (groupby / sort / join) over pandas blocks
+    pays a per-block conversion + slow path (~13x measured on a 140k-row
+    combine: 18s pandas-blocks vs 1.4s arrow-blocks). Any map_batches whose
+    output feeds a shuffle must return Arrow.
+    """
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def broadcast_join(
     left: rd.Dataset,
     right_df: pd.DataFrame,
@@ -31,14 +45,15 @@ def broadcast_join(
 
     The J1 pattern (``utils.py:952-983``) generalized: O(1) dict probe per
     row, zero shuffle. The small side must fit a worker heap — caller's
-    contract, same as the reference's driver-resident split dict.
+    contract, same as the reference's driver-resident split dict. For two
+    fact tables use :func:`hash_join` instead.
     """
     right_ref = ray.put(right_df)
     on = list(on)
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(batch: pd.DataFrame) -> pa.Table:
         right = ray.get(right_ref)
-        return batch.merge(right, on=on, how=how)
+        return to_arrow(batch.merge(right, on=on, how=how))
 
     return left.map_batches(probe, batch_format="pandas")
 
@@ -49,39 +64,63 @@ def broadcast_semi_join(
     """Semi/anti join: broadcast the key set, filter inside map_batches."""
     keys_ref = ray.put(keys)
 
-    def fil(batch: pd.DataFrame) -> pd.DataFrame:
+    def fil(batch: pd.DataFrame) -> pa.Table:
         ks = ray.get(keys_ref)
         mask = batch[key_col].isin(ks)
-        return batch[~mask] if anti else batch[mask]
+        return to_arrow(batch[~mask] if anti else batch[mask])
 
     return left.map_batches(fil, batch_format="pandas")
 
 
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    join_type: str = "inner",
+    num_partitions: Optional[int] = None,
+    right_on: Optional[Sequence[str]] = None,
+) -> rd.Dataset:
+    """Distributed hash join: both sides are hash-partitioned on the key into
+    ``num_partitions`` co-located buckets, merged bucket-locally.
+
+    This is the fact-to-fact path (orders ⋈ lineitem): neither side is ever
+    driver-resident, the only data movement is the two key-partitioned
+    exchanges. Each partition is one aggregator actor: by default we size
+    conservatively from the local CPU count (measured: 8 partitions join
+    600k rows in ~3.5s where 32 partitions take 21s — actor startup
+    dominates small joins). At 100 TB pass ``num_partitions`` explicitly so
+    one bucket of the larger side fits a worker heap (thousands, not 8).
+    Skewed keys concentrate in one bucket — pre-aggregate or salt before
+    joining on a hot key.
+    """
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(16, cpus // 4))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on is not None else None,
+    )
+
+
 # Partial-row count above which the final combine runs as a distributed
 # Ray groupby instead of a driver-side pandas groupby. Below it, shipping
-# vocabulary-sized partials to the driver is faster than an all-to-all.
-PREAGG_DRIVER_LIMIT = 2_000_000
+# vocabulary-sized partials to the driver (columnar, via to_pandas — never
+# row dicts) is faster than an all-to-all.
+PREAGG_DRIVER_LIMIT = 200_000
 
 
-def preagg_groupby(
-    ds: rd.Dataset,
-    keys: Sequence[str],
-    aggs: Dict[str, tuple],
-    driver_limit: int = PREAGG_DRIVER_LIMIT,
-) -> pd.DataFrame:
-    """Pre-aggregated groupby: per-batch pandas combine first, then a final
-    combine of the (keys-cardinality x batches) partials — on the driver for
-    small key spaces, as a distributed ``groupby().aggregate`` when the
-    partials exceed ``driver_limit`` rows (high-cardinality keys).
+def _partials_ds(
+    ds: rd.Dataset, keys: List[str], aggs: Dict[str, tuple]
+) -> rd.Dataset:
+    """Per-batch pandas partial aggregates (map-side combine)."""
 
-    ``aggs`` maps output column -> (input column, kind) with kind in
-    {sum, count, min, max}; means are derived by the caller from sum+count
-    (mergeable decomposition). Correct for distributive/algebraic aggregates
-    only — exactly the ones the reference's statistics need (A1-A3).
-    """
-    keys = list(keys)
-
-    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def partials(batch: pd.DataFrame) -> pa.Table:
         g = batch.groupby(keys, sort=False, dropna=False)
         out = {}
         for out_col, (in_col, kind) in aggs.items():
@@ -95,27 +134,33 @@ def preagg_groupby(
                 out[out_col] = g[in_col].max()
             else:
                 raise ValueError(kind)
-        return pd.DataFrame(out).reset_index()
+        return to_arrow(pd.DataFrame(out).reset_index())
 
-    parts_ds = ds.map_batches(partials, batch_format="pandas")
-    sample = parts_ds.take(driver_limit)
-    if len(sample) < driver_limit:
-        parts = pd.DataFrame(sample)
-        if not len(parts):
-            return parts
-        g = parts.groupby(keys, sort=True, dropna=False)
-        final = {}
-        for out_col, (_in, kind) in aggs.items():
-            if kind in ("sum", "count"):
-                final[out_col] = g[out_col].sum()
-            elif kind == "min":
-                final[out_col] = g[out_col].min()
-            elif kind == "max":
-                final[out_col] = g[out_col].max()
-        return pd.DataFrame(final).reset_index()
+    return ds.map_batches(partials, batch_format="pandas")
 
-    # Distributed final combine (sum-of-counts == count, so count partials
-    # merge with Sum).
+
+def _combine_pandas(
+    parts: pd.DataFrame, keys: List[str], aggs: Dict[str, tuple]
+) -> pd.DataFrame:
+    if not len(parts):
+        return parts
+    g = parts.groupby(keys, sort=True, dropna=False)
+    final = {}
+    for out_col, (_in, kind) in aggs.items():
+        if kind in ("sum", "count"):
+            final[out_col] = g[out_col].sum()
+        elif kind == "min":
+            final[out_col] = g[out_col].min()
+        elif kind == "max":
+            final[out_col] = g[out_col].max()
+    return pd.DataFrame(final).reset_index()
+
+
+def _combine_distributed(
+    parts_ds: rd.Dataset, keys: List[str], aggs: Dict[str, tuple]
+) -> rd.Dataset:
+    """Distributed final combine (sum-of-counts == count, so count partials
+    merge with Sum)."""
     from ray.data.aggregate import Max as RMax, Min as RMin, Sum as RSum
 
     ray_aggs = []
@@ -126,7 +171,51 @@ def preagg_groupby(
             ray_aggs.append(RMin(out_col, alias_name=out_col))
         elif kind == "max":
             ray_aggs.append(RMax(out_col, alias_name=out_col))
-    out = parts_ds.groupby(keys).aggregate(*ray_aggs).to_pandas()
+    return parts_ds.groupby(keys).aggregate(*ray_aggs)
+
+
+def preagg_groupby_ds(
+    ds: rd.Dataset, keys: Sequence[str], aggs: Dict[str, tuple]
+) -> rd.Dataset:
+    """Fully distributed pre-aggregated groupby: map-side partials then a
+    ``groupby().aggregate`` combine. Result stays a Dataset — use for
+    high-cardinality keys feeding further distributed stages (top-k, joins).
+    """
+    keys = list(keys)
+    # materialize the (small, pre-aggregated) partials before the shuffle:
+    # Ray's sort-based groupby re-executes an unmaterialized upstream while
+    # sampling partition boundaries (measured 14s vs 2.7s on a 140k-partial
+    # combine). Partials are vocabulary x blocks — safe to pin.
+    parts = _partials_ds(ds, keys, aggs).materialize()
+    return _combine_distributed(parts, keys, aggs)
+
+
+def preagg_groupby(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Dict[str, tuple],
+    driver_limit: int = PREAGG_DRIVER_LIMIT,
+) -> pd.DataFrame:
+    """Pre-aggregated groupby with a driver-resident result: per-batch pandas
+    combine first, then a final combine of the (keys-cardinality x batches)
+    partials — columnar on the driver for small key spaces, as a distributed
+    ``groupby().aggregate`` when the partials exceed ``driver_limit`` rows
+    (high-cardinality keys).
+
+    The partials Dataset is materialized ONCE and reused by whichever branch
+    runs (no double execution of the upstream pipeline); the driver branch
+    streams Arrow blocks via ``to_pandas`` — row dicts never cross.
+
+    ``aggs`` maps output column -> (input column, kind) with kind in
+    {sum, count, min, max}; means are derived by the caller from sum+count
+    (mergeable decomposition). Correct for distributive/algebraic aggregates
+    only — exactly the ones the reference's statistics need (A1-A3).
+    """
+    keys = list(keys)
+    parts_ds = _partials_ds(ds, keys, aggs).materialize()
+    if parts_ds.count() <= driver_limit:
+        return _combine_pandas(parts_ds.to_pandas(), keys, aggs)
+    out = _combine_distributed(parts_ds, keys, aggs).to_pandas()
     return out.sort_values(keys).reset_index(drop=True)
 
 
@@ -135,37 +224,51 @@ def topk(df: pd.DataFrame, by: List[str], ascending: List[bool], k: int) -> pd.D
     return df.sort_values(by, ascending=ascending, kind="mergesort").head(k).reset_index(drop=True)
 
 
+def distributed_topk(
+    ds: rd.Dataset, by: List[str], ascending: List[bool], k: int
+) -> pd.DataFrame:
+    """Top-k over an arbitrarily large Dataset: per-batch partial top-k
+    (vectorized sort+head inside ``map_batches``), then a driver combine of
+    at most ``blocks x k`` rows — the K1 pattern without ever sorting or
+    materializing the full dataset."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return topk(parts, by, ascending, k)
+
+
 def windowed_event_counts(
     events: rd.Dataset,
     window_seconds: int = 3600,
+    driver_limit: int = PREAGG_DRIVER_LIMIT,
 ) -> pd.DataFrame:
     """Tumbling-window aggregate per (event_type, window): count + value sum.
 
     Windows are epoch-aligned (``floor(epoch/size)``) so per-batch partials
     merge exactly — no ordering assumption, no watermark (bounded batch
-    semantics; see SURVEY.md §2.10). SQL twin: GROUP BY event_type,
-    epoch bucket.
+    semantics; see SURVEY.md §2.10). The combine auto-routes driver vs
+    distributed on partial cardinality (years of logs x many types would
+    exceed the driver budget). SQL twin: GROUP BY event_type, epoch bucket.
     """
 
-    def partials(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["ts", "event_type", "value"]].copy()
-        epoch = b["ts"].astype("int64") // 1_000_000
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["event_type", "value"]].copy()
+        # normalize resolution explicitly: ns-typed parquet/pandas would make
+        # a bare .astype('int64') 1000x off (epoch math must be unit-safe)
+        epoch = batch["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
         b["window_start"] = (epoch // window_seconds) * window_seconds
-        g = b.groupby(["event_type", "window_start"], sort=False)
-        return pd.DataFrame({
-            "n_events": g["value"].size(),
-            "value_sum": g["value"].sum(),
-        }).reset_index()
+        return b
 
-    parts = rd.Dataset.to_pandas(
-        events.map_batches(partials, batch_format="pandas")
+    out = preagg_groupby(
+        events.map_batches(add_window, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "value_sum": ("value", "sum")},
+        driver_limit=driver_limit,
     )
-    g = parts.groupby(["event_type", "window_start"], sort=True)
-    out = pd.DataFrame({
-        "n_events": g["n_events"].sum(),
-        "value_sum": round_half_away(g["value_sum"].sum().to_numpy(), 6),
-    }).reset_index()
-    return out
+    out["value_sum"] = round_half_away(out["value_sum"].to_numpy(), 6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
 def sessionize_events(
@@ -181,7 +284,7 @@ def sessionize_events(
 
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["ts", "event_id"], kind="mergesort")
-        epoch = group["ts"].astype("int64") // 1_000_000
+        epoch = group["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
         new_session = (epoch.diff().fillna(gap_seconds + 1) > gap_seconds)
         session_idx = new_session.cumsum().astype("int64") - 1
         g2 = group.assign(session_idx=session_idx.values, epoch=epoch.values)
