@@ -50,8 +50,8 @@ def _word_shingles_cached(text: str, k: int) -> frozenset:
 # Candidate-pair generation: per-bucket pair enumeration. ray.data's
 # map_groups invokes the UDF once per group; with LSH buckets averaging ~2
 # members that is tens of thousands of pandas constructions (~25s for 76k
-# buckets at sf0.1). Below ``driver_limit`` band rows we therefore collect
-# the (bucket, id) pairs to the driver and enumerate there (milliseconds);
+# buckets at sf0.1). Below ``driver_limit`` band rows we therefore stream
+# the (bucket, id) columns to the driver and enumerate there (milliseconds);
 # above it, the distributed groupby path runs — same output, tested equal.
 CANDIDATE_DRIVER_LIMIT = 2_000_000
 
@@ -62,66 +62,119 @@ def _candidate_pairs(
     id_col: str,
     driver_limit: int = CANDIDATE_DRIVER_LIMIT,
 ) -> rd.Dataset:
-    """Dedup'd id pairs (a < b) sharing at least one bucket."""
-    sample = bucket_rows.take(driver_limit)
-    if len(sample) < driver_limit:
+    """Dedup'd id pairs (a < b) sharing at least one bucket.
+
+    The input is materialized once (it is ids+bucket keys only — never doc
+    payloads) and reused by whichever branch runs; the driver branch moves
+    Arrow columns, not row dicts."""
+    bucket_rows = bucket_rows.materialize()
+    if bucket_rows.count() <= driver_limit:
+        df = bucket_rows.to_pandas()
         by_bucket: dict = {}
-        for r in sample:
-            by_bucket.setdefault(r[bucket_col], []).append(r[id_col])
+        for bucket, doc in zip(df[bucket_col].to_numpy(), df[id_col].to_numpy()):
+            by_bucket.setdefault(bucket, []).append(doc)
         pairs = set()
         for ids in by_bucket.values():
             ids = sorted(set(ids))
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    pairs.add((ids[i], ids[j]))
+                    pairs.add((int(ids[i]), int(ids[j])))
         ordered = sorted(pairs)
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([a for a, _ in ordered], pa.int64()),
             "doc_b": pa.array([b for _, b in ordered], pa.int64()),
         }))
 
-    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+    def candidates(group: pd.DataFrame) -> pa.Table:
         ids = sorted(set(group[id_col]))
         a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64())})
 
+    from ray.data.aggregate import Count
+
+    # duplicate band hits collapse via a native aggregate (one row per pair,
+    # no per-pair pandas UDF), then the count column is projected away.
     return (
         bucket_rows.groupby(bucket_col)
         .map_groups(candidates, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="n_bands"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
     )
+
+
+def _candidate_payload(
+    docs: rd.Dataset, pairs: rd.Dataset, payload_fn, columns
+) -> dict:
+    """Driver-resident payload for CANDIDATE docs only (never the corpus).
+
+    ``pairs`` is materialized, its distinct ids become a broadcast filter
+    over the docs stream, and ``payload_fn`` runs DISTRIBUTED over the
+    surviving docs; only its (per-candidate) output reaches the driver.
+    Near-dup candidates are a small fraction of a deduplicated corpus; if a
+    pathological corpus made even the candidate set exceed driver memory,
+    the same pairs Dataset feeds a hash-partitioned join on doc_id instead
+    (one extra shuffle, same semantics).
+    """
+    import ray
+
+    def distinct_ids(batch: pd.DataFrame) -> pa.Table:
+        ids = pd.unique(pd.concat([batch["doc_a"], batch["doc_b"]]))
+        return pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64))})
+
+    ids_df = pairs.map_batches(distinct_ids, batch_format="pandas").to_pandas()
+    cand_ids = (set(ids_df["doc_id"].tolist())
+                if "doc_id" in ids_df.columns else set())
+    ids_ref = ray.put(cand_ids)
+
+    def fil(batch: pd.DataFrame) -> pa.Table:
+        keep = batch[batch["doc_id"].isin(ray.get(ids_ref))]
+        return payload_fn(keep)
+
+    payload_df = docs.select_columns(columns).map_batches(
+        fil, batch_format="pandas"
+    ).to_pandas()
+    return {"df": payload_df, "n_candidates": len(cand_ids)}
 
 
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """Exact dedup: one row per distinct text, keeping the smallest doc_id
-    plus the duplicate count. Hash-first so the shuffle key is a fixed-width
-    int64 even for multi-KB texts."""
+    plus the duplicate count.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [stable_hash64(t) & ((1 << 62) - 1)
-                  for t in batch.column("text").to_pylist()]
-        return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
+    Map-side combine first (per-batch dedup shrinks the shuffle input to
+    distinct-texts-per-batch), then ONE native ``groupby.aggregate`` —
+    no per-group pandas UDF (a mostly-unique 100 TB corpus has billions of
+    distinct texts; one UDF call each was the round-1 scale bug). The group
+    key is ``(text_hash, text)``: the fixed-width hash leads the sort so key
+    comparisons are int-first, while the text in the key splits 62-bit hash
+    collisions correctly instead of silently merging distinct documents."""
+    from ray.data.aggregate import Min as RMin, Sum as RSum
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("doc_id")
-        first = group.iloc[0]
-        return pd.DataFrame([{
-            "doc_id": int(first["doc_id"]),
-            "text": first["text"],
-            "n_dups": len(group),
-        }])
+    def partial_dedup(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("text", sort=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size")
+        ).reset_index()
+        g["text_hash"] = [stable_hash64(t) & ((1 << 62) - 1) for t in g["text"]]
+        return pa.Table.from_pandas(
+            g[["text_hash", "text", "doc_id", "n"]], preserve_index=False
+        )
 
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial_dedup, batch_format="pandas"
+    ).materialize()  # pin before the shuffle (sort samples re-execute lazy upstreams)
     return (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        parts.groupby(["text_hash", "text"])
+        .aggregate(RMin("doc_id", alias_name="doc_id"),
+                   RSum("n", alias_name="n_dups"))
+        .map_batches(lambda t: t.select(["doc_id", "text", "n_dups"]),
+                     batch_format="pyarrow")
     )
 
 
@@ -170,10 +223,10 @@ def minhash_near_dup_pairs(
          pairs whose estimated similarity is far below threshold, then
          exact Jaccard confirms — zero false positives.
 
-    Texts/signatures for step 4 come from a broadcast of the doc table —
-    the small-side path. At 100 TB, replace the broadcast with a
-    hash-partitioned join of candidates against the doc store on doc_id
-    (same semantics, one extra shuffle).
+    Texts/signatures for step 4 come from a broadcast of the CANDIDATE docs
+    only (``_candidate_payload``): the corpus itself is never materialized,
+    and signatures are computed once, distributed, for just the docs that
+    appear in a candidate pair.
     """
     import ray
 
@@ -197,17 +250,25 @@ def minhash_near_dup_pairs(
         docs.select_columns(["doc_id", "text"])
         .map_batches(band_rows, batch_format="pyarrow"),
         "band_key", "doc_id",
-    )
+    ).materialize()
 
-    # Broadcast the doc payloads once (signatures + texts).
-    doc_df = docs.select_columns(["doc_id", "text"]).to_pandas()
-    sig_matrix = np.stack([
-        hasher.signature(word_shingles(t.split(), shingle_k))
-        for t in doc_df["text"]
-    ])
+    # Candidate-only payload (signatures + texts), computed distributed.
+    def payload_fn(keep: pd.DataFrame) -> pa.Table:
+        sigs = [hasher.signature(word_shingles(t.split(), shingle_k)).tolist()
+                for t in keep["text"]]
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "text": pa.array(keep["text"].tolist(), pa.string()),
+            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+        })
+
+    payload = _candidate_payload(docs, pairs, payload_fn, ["doc_id", "text"])
+    pdf = payload["df"]
+    sig_matrix = (np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
+                  if len(pdf) else np.empty((0, num_perm), dtype=np.uint64))
     payload_ref = ray.put({
-        "texts": dict(zip(doc_df["doc_id"], doc_df["text"])),
-        "sig_index": dict(zip(doc_df["doc_id"], range(len(doc_df)))),
+        "texts": dict(zip(pdf["doc_id"], pdf["text"])),
+        "sig_index": dict(zip(pdf["doc_id"], range(len(pdf)))),
         "sigs": sig_matrix,
     })
     screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
@@ -268,12 +329,19 @@ def simhash_near_dup_pairs(
         docs.select_columns(["doc_id", "text"])
         .map_batches(sig_rows, batch_format="pyarrow"),
         "bucket", "doc_id",
-    )
+    ).materialize()
 
-    doc_df = docs.select_columns(["doc_id", "text"]).to_pandas()
-    sig_ref = ray.put({
-        int(d): simhash64(t.split()) for d, t in zip(doc_df["doc_id"], doc_df["text"])
-    })
+    # Candidate-only signature payload (16 bytes per candidate — the corpus
+    # text never reaches the driver).
+    def payload_fn(keep: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "sig": pa.array([simhash64(t.split()) for t in keep["text"]],
+                            pa.uint64()),
+        })
+
+    pdf = _candidate_payload(docs, pairs, payload_fn, ["doc_id", "text"])["df"]
+    sig_ref = ray.put({int(d): int(s) for d, s in zip(pdf["doc_id"], pdf["sig"])})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = ray.get(sig_ref)

@@ -81,3 +81,51 @@ def test_embedding_near_dup(ray_session):
     pairs = set(zip(out["vec_a"], out["vec_b"]))
     assert (0, 1) in pairs
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_candidate_payload_fetches_candidates_only(ray_session):
+    """Round-2 scale fix: the near-dup verify stage materializes CANDIDATE
+    docs only — the corpus itself must never reach the driver."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import _candidate_payload
+
+    n = 2000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"unique document number {i} with filler" for i in range(n)],
+                         pa.string()),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([5], pa.int64()),
+        "doc_b": pa.array([17], pa.int64()),
+    }))
+    payload = _candidate_payload(
+        ds, pairs,
+        lambda keep: pa.table(
+            {"doc_id": pa.array(keep["doc_id"].tolist(), pa.int64())}),
+        ["doc_id", "text"],
+    )
+    assert payload["n_candidates"] == 2
+    assert sorted(payload["df"]["doc_id"]) == [5, 17]
+
+
+def test_minhash_on_corpus_larger_than_payload(ray_session):
+    """Near-dup over a corpus with few dups: the pair set is exact and the
+    driver-side payload is bounded by candidates, not corpus size."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    n = 1500
+    texts = [f"document {i} talks about topic {i % 97} in distinct terms {i*7}"
+             for i in range(n)]
+    texts[700] = texts[300]  # one exact dup pair
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = minhash_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (300, 700) in got
+    assert all(a == 300 and b == 700 for a, b in got)
