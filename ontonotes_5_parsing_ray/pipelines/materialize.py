@@ -196,10 +196,8 @@ def materialize_kg(
         os.replace(tmp, canon_dir)
         write_lineage(canon_parent, 0, "canonmap",
                       rd.read_parquet(canon_dir).count())
-    canon_dict = {
-        r["norm"]: r["canon"]
-        for r in rd.read_parquet(canon_dir).take_all()
-    }
+    canon_df = rd.read_parquet(canon_dir).to_pandas()
+    canon_dict = dict(zip(canon_df["norm"], canon_df["canon"]))
     canon_ref = ray.put(canon_dict)
 
     # ---- stage 3: graph tables (stage-resumable each) --------------------

@@ -26,9 +26,54 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
 from ..functions.spans import insert_span
 from ..functions.tagdist import build_reduction_rules
 from .stats import tag_frequencies_by_kind
+
+OUT_COLUMNS = ["conv_id", "turn_idx", "kind", "tag", "start", "end"]
+
+
+def rewrite_frame(df: pd.DataFrame, rules: Dict[str, Dict[str, str]]) -> pd.DataFrame:
+    """Pure rewrite kernel over one frame (any set of whole turns).
+
+    Vectorized rename first; the C1 insert-merge runs ONLY for the rare
+    (turn, kind, canonical) groups fed by >1 original tag — everything else
+    passes through columnar. Semantics identical to the reference's per-turn
+    rewrite loop (``reduce_entities.py:154-173``): within such a group the
+    first original tag's spans seed the list, later tags' spans are merged
+    in via ``insert_span``, original-tag-sorted."""
+    if not len(df):
+        return pd.DataFrame(columns=OUT_COLUMNS)
+    df = df.copy()
+    df["tag_orig"] = df["tag"]
+    df["tag"] = [rules.get(k, {}).get(t, t)
+                 for k, t in zip(df["kind"], df["tag_orig"])]
+    group_keys = ["conv_id", "turn_idx", "kind", "tag"]
+    nuniq = df.groupby(group_keys, sort=False)["tag_orig"].transform("nunique")
+    simple = df[nuniq <= 1]
+    frames = [simple[OUT_COLUMNS]]
+    multi = df[nuniq > 1]
+    if len(multi):
+        rows = []
+        for (conv, turn, kind, canon), sub in multi.groupby(group_keys, sort=True):
+            merged = None
+            for _tag, tsub in sub.groupby("tag_orig", sort=True):
+                spans = sorted(zip(tsub["start"], tsub["end"]))
+                if merged is None:
+                    merged = [tuple(s) for s in spans]
+                else:
+                    for span in spans:
+                        merged = insert_span(span, merged)
+            for start, end in merged:
+                rows.append({"conv_id": conv, "turn_idx": int(turn),
+                             "kind": kind, "tag": canon,
+                             "start": int(start), "end": int(end)})
+        frames.append(pd.DataFrame(rows, columns=OUT_COLUMNS))
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"turn_idx": "int64", "start": "int64", "end": "int64"})
 
 
 def build_rules(annotations: rd.Dataset, max_types: int) -> Dict[str, Dict[str, str]]:
@@ -42,47 +87,37 @@ def build_rules(annotations: rd.Dataset, max_types: int) -> Dict[str, Dict[str, 
 
 
 def rewrite_annotations(
-    annotations: rd.Dataset, rules: Dict[str, Dict[str, str]]
+    annotations: rd.Dataset,
+    rules: Dict[str, Dict[str, str]],
+    num_partitions: int = 64,
 ) -> rd.Dataset:
     """PASS 2: rename tags via broadcast rules and merge collapsing spans.
 
     Spans merge *within a turn's (kind, canonical-tag) list* — which needs
-    rows of one (conv_id, turn_idx) together; a groupby on that composite
-    key provides it. The group function applies the C1 insert-merge exactly
-    as the reference's rewrite loop (``reduce_entities.py:154-173``).
+    the rows of one turn together. Shuffling one group PER TURN (round 1)
+    meant one pandas UDF call per corpus turn — the measured 76k-tiny-groups
+    anti-pattern. Instead we shuffle by conv-hash PARTITION (``P`` bounded
+    groups; every turn's rows land whole because the key is a function of
+    conv_id) and run the vectorized :func:`rewrite_frame` kernel per
+    partition. Size ``num_partitions`` so one partition's annotations fit a
+    worker heap (at 100 TB: thousands).
     """
     rules_ref = ray.put(rules)
 
-    def rewrite_group(group: pd.DataFrame) -> pd.DataFrame:
-        rls = ray.get(rules_ref)
-        out_rows = []
-        conv_id = group["conv_id"].iloc[0]
-        turn_idx = group["turn_idx"].iloc[0]
-        for kind, kgroup in group.groupby("kind", sort=True):
-            kind_rules = rls.get(kind, {})
-            merged: Dict[str, list] = {}
-            for tag, tgroup in kgroup.groupby("tag", sort=True):
-                canon = kind_rules.get(tag, tag)
-                spans = sorted(zip(tgroup["start"], tgroup["end"]))
-                if canon in merged:
-                    for span in spans:
-                        merged[canon] = insert_span(span, merged[canon])
-                else:
-                    merged[canon] = [tuple(s) for s in spans]
-            for tag in sorted(merged):
-                for start, end in merged[tag]:
-                    out_rows.append({
-                        "conv_id": conv_id, "turn_idx": turn_idx,
-                        "kind": kind, "tag": tag,
-                        "start": int(start), "end": int(end),
-                    })
-        return pd.DataFrame(
-            out_rows,
-            columns=["conv_id", "turn_idx", "kind", "tag", "start", "end"],
-        )
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [stable_hash64(c) % num_partitions
+                 for c in batch.column("conv_id").to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
 
-    return annotations.groupby(["conv_id", "turn_idx"]).map_groups(
-        rewrite_group, batch_format="pandas"
+    def rewrite_part(group: pd.DataFrame) -> pa.Table:
+        rls = ray.get(rules_ref)
+        out = rewrite_frame(group.drop(columns=["part"]), rls)
+        return pa.Table.from_pandas(out[OUT_COLUMNS], preserve_index=False)
+
+    return (
+        annotations.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rewrite_part, batch_format="pandas")
     )
 
 

@@ -128,3 +128,41 @@ def test_preagg_groupby_distributed_combine_equals_driver(ray_session):
     assert np.allclose(small["s"], big["s"])
     assert np.allclose(small["lo"], big["lo"])
     assert np.allclose(small["hi"], big["hi"])
+
+
+def test_rewrite_annotations_partitioned_equals_kernel(ray_session):
+    """Round-2: the conv-partitioned distributed rewrite must equal the pure
+    kernel applied to the whole frame (turn locality is preserved because
+    the shuffle key is a function of conv_id), including span merges where
+    two original tags collapse into one canonical tag."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.reduce_tags import (
+        rewrite_annotations,
+        rewrite_frame,
+    )
+
+    rows = []
+    for c in range(20):
+        for t in range(3):
+            rows += [
+                {"conv_id": f"c{c}", "turn_idx": t, "kind": "morphology",
+                 "tag": "NN", "start": 0, "end": 5},
+                {"conv_id": f"c{c}", "turn_idx": t, "kind": "morphology",
+                 "tag": "NN-X", "start": 3, "end": 9},   # overlaps after collapse
+                {"conv_id": f"c{c}", "turn_idx": t, "kind": "morphology",
+                 "tag": "VB", "start": 20, "end": 24},
+            ]
+    df = pd.DataFrame(rows)
+    rules = {"morphology": {"NN-X": "NN", "VB": "VB"}}
+    expected = rewrite_frame(df, rules).sort_values(
+        ["conv_id", "turn_idx", "kind", "tag", "start"]).reset_index(drop=True)
+    got = rewrite_annotations(
+        rd.from_pandas(df), rules, num_partitions=7
+    ).to_pandas().sort_values(
+        ["conv_id", "turn_idx", "kind", "tag", "start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[expected.columns], expected)
+    # the overlapping NN/NN-X spans merged into one [0, 9) span per turn
+    nn = got[(got["conv_id"] == "c0") & (got["turn_idx"] == 0) & (got["tag"] == "NN")]
+    assert list(zip(nn["start"], nn["end"])) == [(0, 9)]
