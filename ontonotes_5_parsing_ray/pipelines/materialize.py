@@ -107,7 +107,15 @@ def materialize_kg(
     import json as _json
 
     config_path = os.path.join(out_dir, "_CONFIG")
-    config = {"num_partitions": num_partitions}
+    # The FULL lineage-relevant config is part of the checkpoint: resuming
+    # with a different input, threshold or salting would silently mix stale
+    # and fresh partitions (markers alone don't validate what they recorded).
+    config = {
+        "num_partitions": num_partitions,
+        "transcript_path": os.path.abspath(transcript_path),
+        "canon_threshold": canon_threshold,
+        "salted_bucket_size": salted_bucket_size,
+    }
     if os.path.isfile(config_path):
         with open(config_path) as fh:
             existing = _json.load(fh)

@@ -80,6 +80,61 @@ def assign_splits(
     return ds.map_batches(add_split, batch_format="pyarrow")
 
 
+def load_identifiers(file_name: str) -> List[str]:
+    """S6: read an on-disk ``.id`` manifest — one identifier per line,
+    whitespace stripped, blank lines dropped; an empty file is an error
+    (reference ``utils.py:871-883``). Tabular keys mean no filename
+    re-splitting (M18 is N/A by design)."""
+    with open(file_name, encoding="utf-8", errors="ignore") as fp:
+        lines = [ln.strip() for ln in fp]
+    lines = [ln for ln in lines if ln]
+    if not lines:
+        raise ValueError(f'File "{file_name}" is empty!')
+    return lines
+
+
+# Manifest file names follow the reference ('development.id'); the loaded
+# dict uses THIS engine's split names (development -> validation).
+SPLIT_FILE_NAMES = (("train", "train"), ("development", "validation"),
+                    ("test", "test"))
+
+
+def parse_splitting(dir_name: str) -> Dict[str, List[str]]:
+    """S7: recursive split-manifest walker (reference ``utils.py:886-937``):
+    every directory named ``all`` must hold ``train.id`` /
+    ``development.id`` / ``test.id``; identifier lists accumulate across the
+    whole tree. Driver-side by design — manifests are metadata, never data.
+    """
+    base = os.path.basename(os.path.normpath(dir_name))
+    if not base:
+        raise ValueError("A directory name is empty!")
+    out: Dict[str, List[str]] = {}
+    if base == "all":
+        for ref_name, ours in SPLIT_FILE_NAMES:
+            path = os.path.join(dir_name, ref_name + ".id")
+            if not os.path.isfile(path):
+                raise ValueError(f'File "{path}" does not exist!')
+            out.setdefault(ours, []).extend(load_identifiers(path))
+    else:
+        for entry in sorted(os.listdir(dir_name)):
+            sub = os.path.join(dir_name, entry)
+            if os.path.isdir(sub):
+                for k, v in parse_splitting(sub).items():
+                    out.setdefault(k, []).extend(v)
+    return out
+
+
+def assign_splits_from_dir(
+    ds: rd.Dataset,
+    split_dir: str,
+    weights: Tuple[int, int, int] = (8, 1, 1),
+) -> rd.Dataset:
+    """File-manifest front end to :func:`assign_splits`: IDs found under
+    ``split_dir`` route exactly like explicit in-memory lists."""
+    lists = parse_splitting(split_dir)
+    return assign_splits(ds, lists or None, weights)
+
+
 def write_split_dataset(
     ds: rd.Dataset,
     out_dir: str,

@@ -46,11 +46,15 @@ def knn_bruteforce(
         qv = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        cos = (_unit(vecs) @ qv.T).ravel()
+        # round BEFORE the per-batch truncation so partial selection uses the
+        # same (rounded cosine, vec_id) order as the final combine and the
+        # SQL oracle — otherwise a tie created by rounding can rank
+        # oppositely at the k-boundary and drop the row the oracle keeps
+        cos = round_half_away((_unit(vecs) @ qv.T).ravel().astype(np.float64), 6)
         order = np.lexsort((ids, -cos))[:k]
         return pa.table({
             "vec_id": pa.array(ids[order], pa.int64()),
-            "cosine": pa.array(round_half_away(cos[order].astype(np.float64), 6)),
+            "cosine": pa.array(cos[order]),
         })
 
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
@@ -119,11 +123,12 @@ def knn_lsh(
                 "cosine": pa.array([], pa.float64()),
             })
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)[mask]
-        cos = (_unit(vecs[mask]) @ qv.T).ravel()
+        # round before truncation: see partial_topk
+        cos = round_half_away((_unit(vecs[mask]) @ qv.T).ravel().astype(np.float64), 6)
         order = np.lexsort((ids, -cos))[:k]
         return pa.table({
             "vec_id": pa.array(ids[order], pa.int64()),
-            "cosine": pa.array(round_half_away(cos[order].astype(np.float64), 6)),
+            "cosine": pa.array(cos[order]),
         })
 
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(

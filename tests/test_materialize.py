@@ -56,3 +56,20 @@ def test_materialize_write_resume(ray_session, tiny_transcripts, tmp_path):
                           concurrency=2)
     assert os.path.getmtime(os.path.join(linked_dir, "part-00001")) == untouched_mtime
     pd.testing.assert_frame_equal(first, _triples(out3, ray_session))
+
+
+def test_resume_rejects_config_drift(ray_session, tiny_transcripts, tmp_path):
+    """Resuming a checkpoint with a different input path / threshold /
+    salting must raise instead of silently mixing stale partitions."""
+    import pytest
+
+    from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
+
+    out_dir = str(tmp_path / "kg_cfg")
+    materialize_kg(tiny_transcripts, out_dir, num_partitions=2, concurrency=2)
+    with pytest.raises(ValueError, match="checkpoint"):
+        materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
+                       concurrency=2, canon_threshold=0.31)
+    with pytest.raises(ValueError, match="checkpoint"):
+        materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
+                       concurrency=2, salted_bucket_size=64)

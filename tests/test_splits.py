@@ -77,3 +77,53 @@ def test_validated_load_catches_violations(ray_session, tmp_path):
 
     kernel_errs = validate_annotation_batch(table.to_pandas())
     assert any("overlapping" in e for e in kernel_errs["error"])
+
+
+def test_parse_splitting_manifests(ray_session, tmp_path):
+    """S6/S7: on-disk .id manifests route identically to explicit lists."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.splits import (
+        assign_splits,
+        assign_splits_from_dir,
+        load_identifiers,
+        parse_splitting,
+    )
+
+    root = tmp_path / "splitting" / "corpus_a" / "all"
+    root.mkdir(parents=True)
+    (root / "train.id").write_text("c0\nc1\n\n  c2  \n")
+    (root / "development.id").write_text("c3\n")
+    (root / "test.id").write_text("c4\n")
+    root_b = tmp_path / "splitting" / "corpus_b" / "all"
+    root_b.mkdir(parents=True)
+    (root_b / "train.id").write_text("c5\n")
+    (root_b / "development.id").write_text("c6\n")
+    (root_b / "test.id").write_text("c7\n")
+
+    lists = parse_splitting(str(tmp_path / "splitting"))
+    assert lists == {"train": ["c0", "c1", "c2", "c5"],
+                     "validation": ["c3", "c6"], "test": ["c4", "c7"]}
+
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(8)], pa.string()),
+    }))
+    via_dir = assign_splits_from_dir(ds, str(tmp_path / "splitting")) \
+        .to_pandas().sort_values("conv_id")
+    via_lists = assign_splits(ds, lists).to_pandas().sort_values("conv_id")
+    assert via_dir["split"].tolist() == via_lists["split"].tolist()
+    assert via_dir["split"].tolist() == [
+        "train", "train", "train", "validation", "test",
+        "train", "validation", "test"]
+
+    # reference parity: empty manifest and missing file are errors
+    (root / "empty.id").write_text("\n\n")
+    with pytest.raises(ValueError, match="is empty"):
+        load_identifiers(str(root / "empty.id"))
+    incomplete = tmp_path / "broken" / "all"
+    incomplete.mkdir(parents=True)
+    (incomplete / "train.id").write_text("x\n")
+    with pytest.raises(ValueError, match="does not exist"):
+        parse_splitting(str(tmp_path / "broken"))
