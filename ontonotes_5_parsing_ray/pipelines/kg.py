@@ -39,13 +39,39 @@ from ..stages.canonicalize import build_canon_map, canon_map_to_dict
 from ..stages.link import link_group
 from ..stages.util import pool_size
 
-TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "ts"]
 
 
 def read_transcripts(path: str) -> rd.Dataset:
-    """Column-pruned read: ``tool``/``ts`` never leave storage (SURVEY.md
-    'prune at the read')."""
+    """Column-pruned read: ``tool`` never leaves storage (SURVEY.md 'prune
+    at the read'); ``ts`` rides along as node provenance
+    (``first_seen_ts``, reference ``ontonotes5_to_json.py:110-111``'s
+    per-record metadata analogue)."""
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+LINK_COLUMNS = ["conv_id", "turn_idx", "ok", "link_json", "error", "ts", "lang"]
+
+
+def _prov_columns(batch: pa.Table) -> pa.Table:
+    """Normalize provenance: ``ts`` -> int64 epoch-µs (resolution-explicit),
+    ``lang`` -> string; inputs lacking either get -1 / "" so every link path
+    sees one schema."""
+    n = len(batch)
+    names = set(batch.column_names)
+    ts = (pc.cast(batch.column("ts"), pa.int64()) if "ts" in names
+          else pa.array([-1] * n, pa.int64()))
+    lang = (batch.column("lang") if "lang" in names
+            else pa.array([""] * n, pa.string()))
+    return pa.table({
+        "conv_id": batch.column("conv_id"),
+        "turn_idx": batch.column("turn_idx"),
+        "ok": batch.column("ok"),
+        "link_json": batch.column("link_json"),
+        "error": batch.column("error"),
+        "ts": ts,
+        "lang": lang,
+    })
 
 
 def annotate(
@@ -67,9 +93,7 @@ def link(annotated: rd.Dataset) -> rd.Dataset:
     """One grouping pass produces mentions + triples + the error channel.
 
     Only the compact ``link_json`` payload crosses the conv_id shuffle."""
-    turns = annotated.select_columns(
-        ["conv_id", "turn_idx", "ok", "link_json", "error"]
-    )
+    turns = annotated.map_batches(_prov_columns, batch_format="pyarrow")
     return turns.groupby("conv_id").map_groups(
         link_group, batch_format="pandas"
     )
@@ -101,8 +125,8 @@ def link_salted(
         resolve_conv_group,
     )
 
-    turns = annotated.select_columns(
-        ["conv_id", "turn_idx", "ok", "link_json", "error"]
+    turns = annotated.map_batches(
+        _prov_columns, batch_format="pyarrow"
     ).map_batches(
         lambda t: t.append_column(
             "bucket",
@@ -154,7 +178,8 @@ def split_linked(linked: rd.Dataset):
     mentions = linked.map_batches(
         lambda t: t.filter(pc.equal(t.column("row_kind"), "mention")).select(
             ["conv_id", "turn_idx", "start", "end", "surface",
-             "entity_type", "is_pronoun", "chain_id", "antecedent"]
+             "entity_type", "is_pronoun", "chain_id", "antecedent",
+             "ts", "lang"]
         ),
         batch_format="pyarrow",
     )
@@ -223,11 +248,12 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
     def partials(batch: pa.Table) -> pd.DataFrame:
         canon: Dict[str, str] = ray.get(canon_ref)
         t = batch.filter(pc.invert(batch.column("is_pronoun")))
-        df = t.select(["conv_id", "turn_idx", "surface", "entity_type"]).to_pandas()
+        df = t.select(["conv_id", "turn_idx", "surface", "entity_type",
+                       "ts", "lang"]).to_pandas()
         if not len(df):
             return pd.DataFrame(columns=[
                 "canonical_surface", "surface", "entity_type", "n",
-                "first_conv_id", "first_turn_idx",
+                "first_conv_id", "first_turn_idx", "first_seen_ts", "lang",
             ])
         df["canonical_surface"] = [
             canon.get(normalize_surface(s), normalize_surface(s))
@@ -237,14 +263,16 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
             ["canonical_surface", "surface", "entity_type"], sort=True
         ).agg(
             n=("conv_id", "size"),
-            first_conv_id=("conv_id", "min"),
         ).reset_index()
-        # first_turn_idx = min turn over rows with the min conv (deterministic)
+        # provenance = the (min conv, min turn) mention's row (deterministic)
         firsts = df.sort_values(["conv_id", "turn_idx"]).groupby(
             ["canonical_surface", "surface", "entity_type"], sort=True
-        ).head(1)[["canonical_surface", "surface", "entity_type", "conv_id", "turn_idx"]]
-        firsts = firsts.rename(columns={"conv_id": "first_conv_id", "turn_idx": "first_turn_idx"})
-        out = grp.drop(columns=["first_conv_id"]).merge(
+        ).head(1)[["canonical_surface", "surface", "entity_type",
+                   "conv_id", "turn_idx", "ts", "lang"]]
+        firsts = firsts.rename(columns={
+            "conv_id": "first_conv_id", "turn_idx": "first_turn_idx",
+            "ts": "first_seen_ts"})
+        out = grp.merge(
             firsts, on=["canonical_surface", "surface", "entity_type"]
         )
         return out
@@ -262,6 +290,8 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
             "n_mentions": int(group["n"].sum()),
             "first_conv_id": first["first_conv_id"],
             "first_turn_idx": int(first["first_turn_idx"]),
+            "first_seen_ts": int(first["first_seen_ts"]),
+            "lang": first["lang"],
         }])
 
     return mentions.map_batches(partials, batch_format="pyarrow").groupby(

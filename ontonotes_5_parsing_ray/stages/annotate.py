@@ -65,12 +65,15 @@ class AnnotateTurns:
         )
 
     def _annotate(self, text: str, subwords: bool):
+        from ..functions.analysis import detect_language
+
         key = (text, subwords)
         hit = self._memo.get(key)
         if hit is None:
+            lang = detect_language(text)
             record, e = annotate_turn_text(text, simulate_model_tokens=subwords)
             if record is None:
-                hit = ("", "", e)
+                hit = ("", "", e, lang)
             else:
                 rec_json = (
                     json.dumps(record, ensure_ascii=False)
@@ -80,7 +83,7 @@ class AnnotateTurns:
                     self._link_payload_json(record)
                     if self.emit in ("link", "both") else ""
                 )
-                hit = (rec_json, link_json, "")
+                hit = (rec_json, link_json, "", lang)
             if len(self._memo) >= self.CACHE_LIMIT:
                 self._memo.clear()
             self._memo[key] = hit
@@ -93,16 +96,20 @@ class AnnotateTurns:
         err: List[str] = []
         rec_json: List[str] = []
         link_json: List[str] = []
+        langs: List[str] = []
         for text, role in zip(texts, roles):
-            rec, link, e = self._annotate(text, self.tool_subwords and role == "tool")
+            rec, link, e, lang = self._annotate(
+                text, self.tool_subwords and role == "tool")
             ok.append(e == "")
             err.append(e)
             rec_json.append(rec)
             link_json.append(link)
+            langs.append(lang)
         out = (
             batch
             .append_column("ok", pa.array(ok, pa.bool_()))
             .append_column("error", pa.array(err, pa.string()))
+            .append_column("lang", pa.array(langs, pa.string()))
         )
         if self.emit in ("record", "both"):
             out = out.append_column("record_json", pa.array(rec_json, pa.string()))

@@ -28,13 +28,14 @@ UNION_COLUMNS = [
     "row_kind", "conv_id", "turn_idx", "start", "end", "surface",
     "entity_type", "is_pronoun", "chain_id", "antecedent",
     "pred", "subj", "obj", "subj_type", "obj_type", "error",
+    "ts", "lang",
 ]
 
 _EMPTY = {
     "start": -1, "end": -1, "surface": "", "entity_type": "",
     "is_pronoun": False, "chain_id": -1, "antecedent": "",
     "pred": "", "subj": "", "obj": "", "subj_type": "", "obj_type": "",
-    "error": "",
+    "error": "", "ts": -1, "lang": "",
 }
 
 
@@ -47,6 +48,8 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
     """
     group = group.sort_values("turn_idx", kind="mergesort")
     conv_id = group["conv_id"].iloc[0]
+    prov = {int(t): (int(ts), lang) for t, ts, lang in zip(
+        group["turn_idx"], group["ts"], group["lang"])}
     turns = []
     for turn_idx, ok, payload in zip(
         group["turn_idx"], group["ok"], group["link_json"]
@@ -68,12 +71,14 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
             rows.append({**_EMPTY, "row_kind": "error", "conv_id": conv_id,
                          "turn_idx": int(turn_idx), "error": err})
     for m in mention_rows:
+        ts, lang = prov.get(m["turn_idx"], (-1, ""))
         rows.append({
             **_EMPTY, "row_kind": "mention", "conv_id": conv_id,
             "turn_idx": m["turn_idx"], "start": m["start"], "end": m["end"],
             "surface": m["surface"], "entity_type": m["entity_type"],
             "is_pronoun": bool(m["is_pronoun"]), "chain_id": m["chain_id"],
             "antecedent": m["antecedent"] if m["antecedent"] is not None else "",
+            "ts": ts, "lang": lang,
         })
     for t in triple_rows:
         rows.append({
@@ -88,7 +93,7 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def _dtype(col: str):
-    if col in ("turn_idx", "start", "end", "chain_id"):
+    if col in ("turn_idx", "start", "end", "chain_id", "ts"):
         return "int64"
     if col == "is_pronoun":
         return "bool"
@@ -114,7 +119,7 @@ BULK_COLUMNS = [
     "row_kind", "conv_id", "bucket", "turn_idx", "start", "end", "surface",
     "entity_type", "is_pronoun", "norm", "antecedent", "pending_key",
     "pred", "subj", "obj", "subj_type", "obj_type",
-    "subj_pending", "obj_pending", "error", "summary_json",
+    "subj_pending", "obj_pending", "error", "summary_json", "ts", "lang",
 ]
 
 _BULK_EMPTY = {
@@ -122,6 +127,7 @@ _BULK_EMPTY = {
     "is_pronoun": False, "norm": "", "antecedent": "", "pending_key": "",
     "pred": "", "subj": "", "obj": "", "subj_type": "", "obj_type": "",
     "subj_pending": "", "obj_pending": "", "error": "", "summary_json": "",
+    "ts": -1, "lang": "",
 }
 
 
@@ -133,6 +139,8 @@ def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
     group = group.sort_values("turn_idx", kind="mergesort")
     conv_id = group["conv_id"].iloc[0]
     bucket = int(group["bucket"].iloc[0])
+    prov = {int(t): (int(ts), lang) for t, ts, lang in zip(
+        group["turn_idx"], group["ts"], group["lang"])}
     turns = []
     rows = []
     for turn_idx, ok, err, payload in zip(
@@ -147,6 +155,7 @@ def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
         turns.append((int(turn_idx), mentions, verbs))
     part = link_bucket_partial(turns)
     for m in part["mentions"]:
+        ts, lang = prov.get(m["turn_idx"], (-1, ""))
         rows.append({
             **_BULK_EMPTY, "row_kind": "mention", "conv_id": conv_id,
             "bucket": bucket, "turn_idx": m["turn_idx"],
@@ -154,7 +163,7 @@ def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
             "entity_type": m["entity_type"], "is_pronoun": bool(m["is_pronoun"]),
             "norm": m["norm"],
             "antecedent": m["antecedent"] if m["antecedent"] is not None else "",
-            "pending_key": m["pending_key"],
+            "pending_key": m["pending_key"], "ts": ts, "lang": lang,
         })
     for t in part["triples"]:
         rows.append({
@@ -208,60 +217,112 @@ def resolve_conv_group(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _union_section(n: int, **cols) -> pd.DataFrame:
+    """A UNION-schema frame: defaults from ``_EMPTY`` + provided columns."""
+    data = {}
+    for c in UNION_COLUMNS:
+        if c in cols:
+            data[c] = cols[c]
+        elif c in _EMPTY:
+            data[c] = [_EMPTY[c]] * n
+        else:
+            data[c] = [""] * n
+    return pd.DataFrame(data, columns=UNION_COLUMNS)
+
+
 def finalize_bulk_rows(
     batch: pd.DataFrame, chain_maps: dict, pendings: dict
 ) -> pd.DataFrame:
-    """Phase C: apply resolutions to bulk rows -> the unsalted UNION schema."""
+    """Phase C: apply resolutions to bulk rows -> the unsalted UNION schema.
+
+    Columnar: the common no-pending case never touches Python row objects;
+    only the rare pending rows (bucket-leading pronouns / their triples) take
+    a per-row resolution loop."""
+    import numpy as np
+
     from ..functions.kgrules import PENDING
 
-    out = []
-    for row in batch.itertuples(index=False):
-        conv_chains = chain_maps.get(row.conv_id, {})
-        if row.row_kind == "error":
-            out.append({**_EMPTY, "row_kind": "error", "conv_id": row.conv_id,
-                        "turn_idx": int(row.turn_idx), "error": row.error})
-        elif row.row_kind == "mention":
-            ent_type, norm, antecedent = row.entity_type, row.norm, row.antecedent
-            if row.pending_key:
-                res = pendings.get((row.conv_id, row.pending_key))
+    frames = []
+
+    err = batch[batch["row_kind"] == "error"]
+    if len(err):
+        frames.append(_union_section(
+            len(err), row_kind=["error"] * len(err),
+            conv_id=err["conv_id"].to_numpy(),
+            turn_idx=err["turn_idx"].astype("int64").to_numpy(),
+            error=err["error"].to_numpy(),
+        ))
+
+    m = batch[batch["row_kind"] == "mention"]
+    if len(m):
+        conv = m["conv_id"].to_numpy(object)
+        ent = m["entity_type"].to_numpy(object).copy()
+        norm = m["norm"].to_numpy(object).copy()
+        ante = m["antecedent"].to_numpy(object).copy()
+        pk = m["pending_key"].to_numpy(object)
+        for i in np.nonzero(pk != "")[0]:
+            res = pendings.get((conv[i], pk[i]))
+            if res is None:
+                ent[i], norm[i], ante[i] = "PRON", "", ""
+            else:
+                ent[i] = res["entity_type"]
+                norm[i] = res["norm"]
+                ante[i] = res["surface"]
+        chain = np.fromiter(
+            (chain_maps.get(c, {}).get(n, -1) if n else -1
+             for c, n in zip(conv, norm)),
+            dtype=np.int64, count=len(m),
+        )
+        frames.append(_union_section(
+            len(m), row_kind=["mention"] * len(m), conv_id=conv,
+            turn_idx=m["turn_idx"].astype("int64").to_numpy(),
+            start=m["start"].astype("int64").to_numpy(),
+            end=m["end"].astype("int64").to_numpy(),
+            surface=m["surface"].to_numpy(), entity_type=ent,
+            is_pronoun=m["is_pronoun"].astype(bool).to_numpy(),
+            chain_id=chain, antecedent=ante,
+            ts=m["ts"].astype("int64").to_numpy(),
+            lang=m["lang"].to_numpy(),
+        ))
+
+    t = batch[batch["row_kind"] == "triple"]
+    if len(t):
+        conv = t["conv_id"].to_numpy(object)
+        subj = t["subj"].to_numpy(object).copy()
+        subj_type = t["subj_type"].to_numpy(object).copy()
+        obj = t["obj"].to_numpy(object).copy()
+        obj_type = t["obj_type"].to_numpy(object).copy()
+        sp = t["subj_pending"].to_numpy(object)
+        op = t["obj_pending"].to_numpy(object)
+        drop = np.zeros(len(t), dtype=bool)
+        for i in np.nonzero((sp != "") | (op != ""))[0]:
+            if sp[i]:
+                res = pendings.get((conv[i], sp[i]))
                 if res is None:
-                    ent_type, norm, antecedent = "PRON", "", ""
+                    drop[i] = True
                 else:
-                    ent_type = res["entity_type"]
-                    norm = res["norm"]
-                    antecedent = res["surface"]
-            chain_id = conv_chains.get(norm, -1) if norm else -1
-            out.append({
-                **_EMPTY, "row_kind": "mention", "conv_id": row.conv_id,
-                "turn_idx": int(row.turn_idx), "start": int(row.start),
-                "end": int(row.end), "surface": row.surface,
-                "entity_type": ent_type, "is_pronoun": bool(row.is_pronoun),
-                "chain_id": chain_id, "antecedent": antecedent,
-            })
-        elif row.row_kind == "triple":
-            subj, subj_type = row.subj, row.subj_type
-            obj, obj_type = row.obj, row.obj_type
-            drop = False
-            if row.subj_pending:
-                res = pendings.get((row.conv_id, row.subj_pending))
+                    subj[i], subj_type[i] = res["surface"], res["entity_type"]
+            if op[i]:
+                res = pendings.get((conv[i], op[i]))
                 if res is None:
-                    drop = True
+                    drop[i] = True
                 else:
-                    subj, subj_type = res["surface"], res["entity_type"]
-            if row.obj_pending:
-                res = pendings.get((row.conv_id, row.obj_pending))
-                if res is None:
-                    drop = True
-                else:
-                    obj, obj_type = res["surface"], res["entity_type"]
-            if drop or subj == PENDING or obj == PENDING:
-                continue  # unresolved-pronoun triple (same rule as unsalted)
-            out.append({
-                **_EMPTY, "row_kind": "triple", "conv_id": row.conv_id,
-                "turn_idx": int(row.turn_idx), "pred": row.pred,
-                "subj": subj, "obj": obj,
-                "subj_type": subj_type, "obj_type": obj_type,
-            })
-    if not out:
+                    obj[i], obj_type[i] = res["surface"], res["entity_type"]
+        # unresolved-pronoun triples are dropped (same rule as unsalted)
+        drop |= (subj == PENDING) | (obj == PENDING)
+        keep = ~drop
+        if keep.any():
+            frames.append(_union_section(
+                int(keep.sum()), row_kind=["triple"] * int(keep.sum()),
+                conv_id=conv[keep],
+                turn_idx=t["turn_idx"].astype("int64").to_numpy()[keep],
+                pred=t["pred"].to_numpy()[keep],
+                subj=subj[keep], obj=obj[keep],
+                subj_type=subj_type[keep], obj_type=obj_type[keep],
+            ))
+
+    if not frames:
         return pd.DataFrame({c: pd.Series(dtype=_dtype(c)) for c in UNION_COLUMNS})
-    return pd.DataFrame(out, columns=UNION_COLUMNS)
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({c: _dtype(c) for c in ("turn_idx", "start", "end",
+                                              "chain_id", "ts")})

@@ -63,3 +63,24 @@ def test_turn_ordering_invariant(kg_result):
             if cid not in seen:
                 assert not seen or cid > max(seen), (conv_id, cid)
                 seen.add(cid)
+
+
+def test_node_provenance_first_seen_ts_and_lang(kg_result, tiny_table):
+    """Round-2: nodes carry first_seen_ts (epoch-µs of the first mention's
+    turn) and a detected language (reference attaches language to every
+    record, ontonotes5_to_json.py:110-111)."""
+    import pandas as pd
+
+    nodes = kg_result["nodes"]
+    assert "first_seen_ts" in nodes.columns and "lang" in nodes.columns
+    assert (nodes["first_seen_ts"] > 0).all()     # synthetic ts is positive
+    assert (nodes["lang"] != "").all()
+
+    # first_seen_ts must equal the transcript ts of (first_conv_id,
+    # first_turn_idx) exactly
+    df = tiny_table.to_pandas()
+    ts_of = {(c, int(t)): int(pd.Timestamp(ts).value // 1000)
+             for c, t, ts in zip(df["conv_id"], df["turn_idx"], df["ts"])}
+    for row in nodes.itertuples(index=False):
+        expected = ts_of[(row.first_conv_id, int(row.first_turn_idx))]
+        assert int(row.first_seen_ts) == expected, row.canonical_surface
