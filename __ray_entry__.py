@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_type": q.parts_by_type,
         "customers_without_orders": q.customers_without_orders,
         "lineitem_discount_bands": q.lineitem_discount_bands,
+        "orders_lineitem_by_status": q.orders_lineitem_by_status,
         # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -181,6 +182,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items,
                    round(sum(l_extendedprice), 2) AS sum_price
             FROM lineitem GROUP BY band ORDER BY band
+        """,
+        "orders_lineitem_by_status": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice), 2) AS sum_price
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+            ORDER BY o.o_orderstatus
         """,
         "events_user_stats": """
             SELECT user_id, count(*) AS n_events,

@@ -379,6 +379,26 @@ def lineitem_discount_bands(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("band").reset_index(drop=True)
 
 
+def orders_lineitem_by_status(sf_dir: str) -> pd.DataFrame:
+    """Direct oracle check of the distributed fact-to-fact hash join:
+    orders ⋈ lineitem on orderkey, aggregated per order status. Both sides
+    stream; neither touches the driver."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    ords = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+    joined = hash_join(li, ords, on=["l_orderkey"])
+    agg = preagg_groupby(joined, ["o_orderstatus"], {
+        "n_items": ("l_extendedprice", "count"),
+        "sum_price": ("l_extendedprice", "sum"),
+    })
+    agg["sum_price"] = round_half_away(agg["sum_price"].to_numpy(), 2)
+    return agg.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k (LSH-bucketed scale path; recall measured vs the
     brute-force baseline in tests)."""

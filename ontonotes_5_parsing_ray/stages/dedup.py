@@ -362,9 +362,16 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 7,
+    max_bucket: int = 8192,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup: random-hyperplane sign buckets (seed-fixed
-    planes broadcast by closure), exact cosine verify inside buckets."""
+    planes broadcast by closure), exact cosine verify inside buckets.
+
+    In-bucket verify is all-pairs, so a hot bucket is quadratic: buckets
+    larger than ``max_bucket`` are recursively split with additional
+    seed-fixed hyperplanes and verified within sub-buckets only — bounded
+    work at a recall cost only for pairs split by the extra planes (small at
+    near-dup thresholds, where vectors are nearly parallel)."""
     rng = np.random.RandomState(seed)
     planes = None  # lazily sized from the first batch's dim
 
@@ -382,22 +389,41 @@ def embedding_near_dup_pairs(
             "embedding": batch.column("embedding"),
         })
 
+    def _verify_rows(ids: np.ndarray, unit: np.ndarray, depth: int,
+                     a_out: list, b_out: list, c_out: list) -> None:
+        if len(ids) > max_bucket and depth < 6:
+            split_planes = np.random.RandomState(
+                seed + 101 * (depth + 1)
+            ).randn(2, unit.shape[1]).astype(np.float32)
+            signs = (unit @ split_planes.T) >= 0
+            subkey = signs[:, 0].astype(np.int8) * 2 + signs[:, 1].astype(np.int8)
+            for key in range(4):
+                mask = subkey == key
+                if mask.sum() > 1:
+                    _verify_rows(ids[mask], unit[mask], depth + 1,
+                                 a_out, b_out, c_out)
+            return
+        cos = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hits = cos[iu, ju] >= threshold
+        for i, j, c in zip(iu[hits], ju[hits], cos[iu, ju][hits]):
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[j]))
+            c_out.append(round(float(c), 6))
+
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = rows["vec_id"].tolist()
+        ids = rows["vec_id"].to_numpy(dtype=np.int64)
         vecs = np.asarray(rows["embedding"].tolist(), dtype=np.float32)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        cos = unit @ unit.T
         a_out, b_out, c_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if cos[i, j] >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    c_out.append(round(float(cos[i, j]), 6))
-        return pd.DataFrame({"vec_a": a_out, "vec_b": b_out, "cosine": c_out})
+        _verify_rows(ids, unit, 0, a_out, b_out, c_out)
+        order = sorted(range(len(a_out)), key=lambda i: (a_out[i], b_out[i]))
+        return pd.DataFrame({"vec_a": [a_out[i] for i in order],
+                             "vec_b": [b_out[i] for i in order],
+                             "cosine": [c_out[i] for i in order]})
 
     return (
         embeddings.select_columns(["vec_id", "embedding"])
