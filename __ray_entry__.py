@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
+        "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
         "emb_label_stats": q.emb_label_stats,
         "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)

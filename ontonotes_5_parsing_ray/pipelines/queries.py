@@ -408,6 +408,24 @@ def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
     return knn_lsh(emb, _query_vector(sf_dir), k=10, n_planes=6, multiprobe=3)
 
 
+def emb_knn_lsh_indexed(sf_dir: str) -> pd.DataFrame:
+    """Top-k through the PARTITIONED on-disk LSH index (the 100 TB layout:
+    the query opens only its probe buckets' partitions). Index cached under
+    /tmp per sf tag; identical planes to the scan path."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import build_lsh_index, knn_lsh_indexed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/onr_lsh_index/{tag}"
+    if not os.path.isfile(os.path.join(idx_dir, "_META")):
+        build_lsh_index(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            idx_dir, n_planes=6,
+        )
+    return knn_lsh_indexed(idx_dir, _query_vector(sf_dir), k=10, multiprobe=3)
+
+
 def emb_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-bucket blocking +
     in-bucket exact cosine verify). Schema-stable when empty."""

@@ -139,6 +139,101 @@ def knn_lsh(
     ).head(k).reset_index(drop=True)
 
 
+def build_lsh_index(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    n_planes: int = 10,
+    seed: int = 7,
+) -> str:
+    """The documented scale path for :func:`knn_lsh`: compute each vector's
+    hyperplane bucket ONCE and write the corpus hive-partitioned by bucket.
+    Queries then read only their probe buckets' partitions — pruning happens
+    at the READ (row groups never leave storage), not as a post-read filter.
+
+    Returns ``out_dir``. Layout: ``bucket=<key>/*.parquet`` + ``_META`` json
+    (n_planes, seed) so a query reconstructs the identical planes."""
+    import json as _json
+    import os
+
+    planes_state = {"planes": None}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        if (planes_state["planes"] is None
+                or planes_state["planes"].shape[1] != vecs.shape[1]):
+            planes_state["planes"] = np.random.RandomState(seed).randn(
+                n_planes, vecs.shape[1]).astype(np.float32)
+        signs = (vecs @ planes_state["planes"].T) >= 0
+        keys = ["".join("1" if b else "0" for b in row) for row in signs]
+        return batch.append_column("bucket", pa.array(keys, pa.string()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    embeddings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    with open(os.path.join(out_dir, "_META"), "w") as fh:
+        _json.dump({"n_planes": n_planes, "seed": seed}, fh)
+    return out_dir
+
+
+def knn_lsh_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k over a :func:`build_lsh_index` layout: only the
+    probe buckets' partition directories are opened — at 100 TB a query
+    touches ~(1+multiprobe)/2^n_planes of the corpus instead of scanning it.
+    """
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "_META")) as fh:
+        meta = _json.load(fh)
+    n_planes, seed = meta["n_planes"], meta["seed"]
+    query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    bucketer = HyperplaneBuckets(query.shape[1], n_planes, seed)
+    q_key = bucketer.key_of(_unit(query))[0]
+    probe_keys = {q_key}
+    for flip in range(n_planes):
+        flipped = list(q_key)
+        flipped[flip] = "0" if q_key[flip] == "1" else "1"
+        probe_keys.add("".join(flipped))
+        if len(probe_keys) > multiprobe + 1:
+            break
+
+    files = [
+        os.path.join(d, f)
+        for key in sorted(probe_keys)
+        for d in [os.path.join(index_dir, f"bucket={key}")]
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    if not files:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    qv = _unit(query)
+    q_ref = ray.put(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        cos = round_half_away(
+            (_unit(vecs) @ ray.get(q_ref).T).ravel().astype(np.float64), 6)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(cos[order]),
+        })
+
+    partials = rd.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow").to_pandas()
+    return partials.sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+
+
 def label_centroids(embeddings: rd.Dataset) -> pd.DataFrame:
     """Per-label mean vector via mergeable per-batch partial sums
     (sum + count per label per batch, combined on the driver — the sketch

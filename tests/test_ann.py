@@ -55,3 +55,33 @@ def test_label_centroids_merge_partials(ray_session):
         expected = vecs[labels == row.label].astype(np.float64).mean(axis=0)
         assert np.allclose(np.asarray(row.centroid), expected, atol=1e-9)
         assert row.n == int((labels == row.label).sum())
+
+
+def test_lsh_index_partitioned_equals_filter_path(ray_session, tmp_path):
+    """The partitioned on-disk LSH index must return exactly what the
+    scan+filter path returns (identical planes/probe set; only WHERE the
+    pruning happens differs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.ann import (
+        build_lsh_index,
+        knn_lsh,
+        knn_lsh_indexed,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(400, 24).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    idx = build_lsh_index(ds, str(tmp_path / "lsh_idx"), n_planes=6, seed=7)
+    query = vecs[17]
+    via_index = knn_lsh_indexed(idx, query, k=10, multiprobe=3)
+    via_scan = knn_lsh(ds, query, k=10, n_planes=6, seed=7, multiprobe=3)
+    assert via_index["vec_id"].tolist() == via_scan["vec_id"].tolist()
+    assert via_index["cosine"].tolist() == via_scan["cosine"].tolist()
+    assert via_index["vec_id"].iloc[0] == 17  # self is its own nearest
