@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
+        "events_sessions_salted": q.events_sessions_salted,
         "events_user_stats": q.events_user_stats,
         "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
@@ -146,6 +147,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, window_start
         """,
         "events_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ep, value
+                FROM events
+            ), g AS (
+                SELECT *, CASE WHEN ep - lag(ep) OVER w > 1800
+                               OR lag(ep) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+            ), s AS (
+                SELECT *, (sum(new_s) OVER (PARTITION BY user_id
+                                            ORDER BY ep, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                          AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   min(ep) AS session_start, max(ep) AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS value_sum
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        # the skew-safe two-phase variant must satisfy the identical oracle
+        "events_sessions_salted": """
             WITH e AS (
                 SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ep, value
                 FROM events

@@ -239,6 +239,61 @@ def canonicalize_triples(
     return triples.map_batches(rewrite, batch_format="pyarrow")
 
 
+def canonicalize_triples_join(
+    triples: rd.Dataset, canon_map: rd.Dataset, num_partitions: int = None
+) -> rd.Dataset:
+    """The too-big-to-broadcast twin of :func:`canonicalize_triples`: the
+    canon map stays a Dataset and each of subj/obj is resolved with a
+    hash-partitioned LEFT join on the normalized surface (missing norms keep
+    themselves, as in the broadcast dict's ``.get`` default). Two bounded
+    exchanges instead of one driver-held dict — same output, tested equal.
+    """
+    from ..stages.relational import hash_join
+
+    def add_norms(batch: pa.Table) -> pa.Table:
+        subj_n = [normalize_surface(s) for s in batch.column("subj").to_pylist()]
+        obj_n = [normalize_surface(o) for o in batch.column("obj").to_pylist()]
+        return (batch
+                .append_column("subj_norm", pa.array(subj_n, pa.string()))
+                .append_column("obj_norm", pa.array(obj_n, pa.string())))
+
+    with_norms = triples.map_batches(add_norms, batch_format="pyarrow")
+
+    subj_map = canon_map.map_batches(
+        lambda t: t.rename_columns(["subj_norm", "subj_canon_j"]),
+        batch_format="pyarrow")
+    joined = hash_join(with_norms, subj_map, on=["subj_norm"],
+                       join_type="left_outer", num_partitions=num_partitions)
+    obj_map = canon_map.map_batches(
+        lambda t: t.rename_columns(["obj_norm", "obj_canon_j"]),
+        batch_format="pyarrow")
+    joined = hash_join(joined, obj_map, on=["obj_norm"],
+                       join_type="left_outer", num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        subj_canon = [
+            c if c is not None else n
+            for c, n in zip(batch.column("subj_canon_j").to_pylist(),
+                            batch.column("subj_norm").to_pylist())
+        ]
+        obj_canon = [
+            c if c is not None else n
+            for c, n in zip(batch.column("obj_canon_j").to_pylist(),
+                            batch.column("obj_norm").to_pylist())
+        ]
+        out = batch.drop_columns(
+            ["subj_norm", "obj_norm", "subj_canon_j", "obj_canon_j"])
+        return (out
+                .append_column("subj_canon", pa.array(subj_canon, pa.string()))
+                .append_column("obj_canon", pa.array(obj_canon, pa.string()))
+                .append_column("subj_id", pa.array(
+                    [canonical_entity_id(c) for c in subj_canon], pa.string()))
+                .append_column("obj_id", pa.array(
+                    [canonical_entity_id(c) for c in obj_canon], pa.string())))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
     """Node table via partial aggregation: per-batch partials keyed by
     canonical surface, then one small groupby-combine (pre-aggregate before

@@ -32,6 +32,7 @@ from ..stages.relational import (
     preagg_groupby,
     preagg_groupby_ds,
     sessionize_events,
+    sessionize_events_salted,
     topk,
     windowed_event_counts,
 )
@@ -194,6 +195,14 @@ def events_sessions(sf_dir: str) -> rd.Dataset:
     events = _read(sf_dir, "events",
                    columns=["event_id", "ts", "user_id", "value"])
     return sessionize_events(events, 1800)
+
+
+def events_sessions_salted(sf_dir: str) -> rd.Dataset:
+    """The skew-safe two-phase sessionization, checked against the SAME
+    oracle SQL as events_sessions — a hot user never forms one giant group."""
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+    return sessionize_events_salted(events, 1800)
 
 
 # --------------------------------------------------------------------------

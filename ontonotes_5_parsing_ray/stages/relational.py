@@ -302,3 +302,95 @@ def sessionize_events(
     return events.select_columns(
         ["event_id", "ts", "user_id", "value"]
     ).groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSION_COLUMNS = ["user_id", "session_idx", "session_start", "session_end",
+                   "n_events", "value_sum"]
+
+
+def sessionize_events_salted(
+    events: rd.Dataset,
+    gap_seconds: int = 1800,
+    bucket_seconds: int = 86400,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Skew-safe twin of :func:`sessionize_events` (exact same output).
+
+    :func:`sessionize_events` holds one user's ENTIRE event history in one
+    group — a bot user with 10^9 events breaks that at scale. Here phase A
+    sessionizes within ``(user, time-bucket)`` salted groups (bounded by
+    bucket span, hot users spread across partitions), emitting one PARTIAL
+    SESSION row per run; phase B merges only those partials per user
+    (rows ≈ sessions, not events): two bucket-adjacent partial sessions
+    fuse when the boundary gap ``next.start - prev.end <= gap_seconds`` —
+    exactly the per-event rule, because bucket edges split only consecutive
+    events. Both phases shuffle into ``num_partitions`` hash buckets and run
+    VECTORIZED pandas kernels (cumsum session breaks), never one UDF call
+    per user or per session. Sums stay unrounded until after the merge.
+    """
+    from ..functions.hashing import stable_hash64
+
+    def phase_a_cols(batch: pd.DataFrame) -> pa.Table:
+        b = batch[["event_id", "user_id", "value"]].copy()
+        epoch = batch["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        b["epoch"] = epoch
+        b["tbucket"] = epoch // bucket_seconds
+        b["part"] = [
+            stable_hash64(f"{u}\x02{tb}") % num_partitions
+            for u, tb in zip(b["user_id"], b["tbucket"])
+        ]
+        return to_arrow(b)
+
+    def sessionize_partition(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values(["user_id", "tbucket", "epoch", "event_id"],
+                               kind="mergesort")
+        new_group = ((df["user_id"] != df["user_id"].shift())
+                     | (df["tbucket"] != df["tbucket"].shift()))
+        gap_break = df["epoch"].diff().fillna(gap_seconds + 1) > gap_seconds
+        sess_id = (new_group | gap_break).cumsum()
+        agg = df.groupby(sess_id, sort=True).agg(
+            user_id=("user_id", "first"),
+            session_start=("epoch", "min"),
+            session_end=("epoch", "max"),
+            n_events=("event_id", "size"),
+            value_sum=("value", "sum"),   # raw: rounding only after merge
+        ).reset_index(drop=True)
+        return to_arrow(agg)
+
+    partials = (
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .map_batches(phase_a_cols, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sessionize_partition, batch_format="pandas")
+    )
+
+    def phase_b_cols(batch: pd.DataFrame) -> pa.Table:
+        b = batch.copy()
+        b["part"] = [stable_hash64(str(u)) % num_partitions
+                     for u in b["user_id"]]
+        return to_arrow(b)
+
+    def merge_partition(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values(["user_id", "session_start", "session_end"],
+                               kind="mergesort")
+        new_user = df["user_id"] != df["user_id"].shift()
+        boundary_gap = df["session_start"] - df["session_end"].shift()
+        merge_break = new_user | (boundary_gap > gap_seconds)
+        merged_id = merge_break.cumsum()
+        agg = df.groupby(merged_id, sort=True).agg(
+            user_id=("user_id", "first"),
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+            value_sum=("value_sum", "sum"),
+        ).reset_index(drop=True)
+        agg["session_idx"] = agg.groupby("user_id", sort=False).cumcount() \
+                                .astype("int64")
+        agg["value_sum"] = round_half_away(agg["value_sum"].to_numpy(), 6)
+        return to_arrow(agg[SESSION_COLUMNS])
+
+    return (
+        partials.map_batches(phase_b_cols, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )

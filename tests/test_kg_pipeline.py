@@ -84,3 +84,42 @@ def test_node_provenance_first_seen_ts_and_lang(kg_result, tiny_table):
     for row in nodes.itertuples(index=False):
         expected = ts_of[(row.first_conv_id, int(row.first_turn_idx))]
         assert int(row.first_seen_ts) == expected, row.canonical_surface
+
+
+def test_canonicalize_triples_join_equals_broadcast(ray_session, tiny_transcripts):
+    """The hash-partitioned-join canon application (too-big-to-broadcast
+    path) must equal the broadcast-dict path row for row."""
+    import pandas as pd
+    import ray
+
+    from ontonotes_5_parsing_ray.stages.canonicalize import (
+        build_canon_map,
+        canon_map_to_dict,
+    )
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        annotate,
+        canonicalize_triples,
+        canonicalize_triples_join,
+        link,
+        read_transcripts,
+        split_linked,
+        surfaces_for_canon,
+    )
+
+    annotated = annotate(read_transcripts(tiny_transcripts),
+                         concurrency=2, emit="link")
+    linked = link(annotated).materialize()
+    mentions, triples = split_linked(linked)
+    canon_map = build_canon_map(
+        surfaces_for_canon(mentions, triples)).materialize()
+
+    bcast = canonicalize_triples(
+        triples, ray.put(canon_map_to_dict(canon_map))).to_pandas()
+    joined = canonicalize_triples_join(triples, canon_map).to_pandas()
+
+    cols = sorted(bcast.columns)
+    assert sorted(joined.columns) == cols
+    key = ["conv_id", "turn_idx", "pred", "subj", "obj"]
+    b = bcast[cols].sort_values(key).reset_index(drop=True)
+    j = joined[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)

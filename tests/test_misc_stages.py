@@ -166,3 +166,58 @@ def test_rewrite_annotations_partitioned_equals_kernel(ray_session):
     # the overlapping NN/NN-X spans merged into one [0, 9) span per turn
     nn = got[(got["conv_id"] == "c0") & (got["turn_idx"] == 0) & (got["tag"] == "NN")]
     assert list(zip(nn["start"], nn["end"])) == [(0, 9)]
+
+
+def test_sessionize_salted_equals_plain_with_hot_user(ray_session):
+    """Two-phase sessionization == single-group sessionization, including a
+    hot user whose sessions straddle time-bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        sessionize_events,
+        sessionize_events_salted,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    eid = 0
+    # hot user 1: a dense run crossing many 1-hour buckets without a gap,
+    # then a >gap pause, then another run
+    t = 1_700_000_000
+    for _ in range(500):
+        rows.append((eid, t, 1, 0.5)); eid += 1
+        t += int(rng.randint(1, 300))          # always < gap -> one session
+    t += 5000                                  # > gap -> new session
+    for _ in range(200):
+        rows.append((eid, t, 1, 0.25)); eid += 1
+        t += int(rng.randint(1, 300))
+    # normal users
+    for u in range(2, 30):
+        t = 1_700_000_000 + u * 999
+        for _ in range(rng.randint(1, 20)):
+            rows.append((eid, t, u, 1.0)); eid += 1
+            t += int(rng.randint(1, 4000))     # some gaps > 1800
+    df = pd.DataFrame(rows, columns=["event_id", "epoch", "user_id", "value"])
+    tbl = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(df["epoch"] * 1_000_000, pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    ds = rd.from_arrow(tbl)
+
+    cols = ["user_id", "session_idx", "session_start", "session_end",
+            "n_events", "value_sum"]
+    plain = sessionize_events(ds, 1800).to_pandas()[cols] \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    # bucket_seconds=3600 forces the hot user's long session across ~40 buckets
+    salted = sessionize_events_salted(ds, 1800, bucket_seconds=3600,
+                                      num_partitions=8).to_pandas()[cols] \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        plain.astype({"session_idx": "int64"}),
+        salted.astype({"session_idx": "int64"}))
+    assert plain[plain["user_id"] == 1]["session_idx"].max() == 1  # 2 sessions
