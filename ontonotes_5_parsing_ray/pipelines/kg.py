@@ -332,26 +332,56 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
         )
         return out
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        canon_surface = group["canonical_surface"].iloc[0]
-        type_counts = group.groupby("entity_type")["n"].sum()
-        best_type = sorted(type_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        first = group.sort_values(["first_conv_id", "first_turn_idx"]).iloc[0]
-        return pd.DataFrame([{
-            "canonical_id": canonical_entity_id(canon_surface),
-            "canonical_surface": canon_surface,
-            "entity_type": best_type,
-            "surface_forms": json.dumps(sorted(set(group["surface"])), ensure_ascii=False),
-            "n_mentions": int(group["n"].sum()),
-            "first_conv_id": first["first_conv_id"],
-            "first_turn_idx": int(first["first_turn_idx"]),
-            "first_seen_ts": int(first["first_seen_ts"]),
-            "lang": first["lang"],
-        }])
+    def combine_partition(group: pd.DataFrame) -> pa.Table:
+        """Vectorized combine of ONE hash partition of partial rows: inner
+        pandas groupbys handle every canonical surface in the partition at
+        once — never one UDF call per entity (entity vocabulary is corpus-
+        scale; per-group map_groups was the exact_dedup anti-pattern)."""
+        df = group.drop(columns=["part"])
+        # majority entity type, ties by name: sort by (-count, type), head(1)
+        tc = df.groupby(["canonical_surface", "entity_type"], sort=False)["n"] \
+               .sum().reset_index()
+        tc = tc.sort_values(["canonical_surface", "n", "entity_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        best_type = tc.drop_duplicates("canonical_surface") \
+                      .set_index("canonical_surface")["entity_type"]
+        firsts = df.sort_values(
+            ["canonical_surface", "first_conv_id", "first_turn_idx"],
+            kind="mergesort",
+        ).drop_duplicates("canonical_surface").set_index("canonical_surface")
+        surface_forms = df.groupby("canonical_surface", sort=True)["surface"] \
+            .agg(lambda s: json.dumps(sorted(set(s)), ensure_ascii=False))
+        n_mentions = df.groupby("canonical_surface", sort=True)["n"].sum()
+        out = pd.DataFrame({
+            "canonical_surface": n_mentions.index,
+            "entity_type": best_type.reindex(n_mentions.index).to_numpy(),
+            "surface_forms": surface_forms.reindex(n_mentions.index).to_numpy(),
+            "n_mentions": n_mentions.to_numpy().astype("int64"),
+            "first_conv_id": firsts["first_conv_id"].reindex(n_mentions.index).to_numpy(),
+            "first_turn_idx": firsts["first_turn_idx"].reindex(n_mentions.index).to_numpy().astype("int64"),
+            "first_seen_ts": firsts["first_seen_ts"].reindex(n_mentions.index).to_numpy().astype("int64"),
+            "lang": firsts["lang"].reindex(n_mentions.index).to_numpy(),
+        })
+        out.insert(0, "canonical_id",
+                   [canonical_entity_id(c) for c in out["canonical_surface"]])
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return mentions.map_batches(partials, batch_format="pyarrow").groupby(
-        "canonical_surface"
-    ).map_groups(combine, batch_format="pandas")
+    NODE_PARTITIONS = 64
+
+    def add_part(batch: pd.DataFrame) -> pa.Table:
+        from ..functions.hashing import stable_hash64
+
+        batch = batch.copy()
+        batch["part"] = [stable_hash64(c) % NODE_PARTITIONS
+                         for c in batch["canonical_surface"]]
+        return pa.Table.from_pandas(batch, preserve_index=False)
+
+    return (
+        mentions.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine_partition, batch_format="pandas")
+    )
 
 
 def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
@@ -372,18 +402,21 @@ def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
             ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"], sort=True
         ).agg(n=("conv_id", "size"), first_conv_id=("conv_id", "min")).reset_index()
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        row = group.iloc[0]
-        return pd.DataFrame([{
-            "subj_id": row["subj_id"], "pred": row["pred"], "obj_id": row["obj_id"],
-            "subj_canon": row["subj_canon"], "obj_canon": row["obj_canon"],
-            "n_occurrences": int(group["n"].sum()),
-            "first_conv_id": group["first_conv_id"].min(),
-        }])
+    from ray.data.aggregate import Min as RMin, Sum as RSum
 
-    return canon_triples.map_batches(partials, batch_format="pyarrow").groupby(
-        ["subj_id", "pred", "obj_id"]
-    ).map_groups(combine, batch_format="pandas")
+    # Native aggregate combine: distinct-edge cardinality is corpus-scale,
+    # so no per-edge UDF. subj_canon/obj_canon are functions of the ids and
+    # ride in the group key.
+    parts = canon_triples.map_batches(
+        lambda t: pa.Table.from_pandas(partials(t), preserve_index=False),
+        batch_format="pyarrow",
+    ).materialize()  # pin pre-agg partials before the shuffle
+    return parts.groupby(
+        ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"]
+    ).aggregate(
+        RSum("n", alias_name="n_occurrences"),
+        RMin("first_conv_id", alias_name="first_conv_id"),
+    )
 
 
 def run_kg_pipeline(
