@@ -113,6 +113,30 @@ def _cmd_splits(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_json(args: argparse.Namespace) -> int:
+    """Transcripts -> annotated samples -> the reference's single-file JSON
+    (the ``ontonotes5_to_json`` output surface)."""
+    _ensure_ray()
+    from .pipelines.export import (
+        build_reference_samples,
+        write_reference_json,
+        write_reference_samples_parquet,
+    )
+    from .pipelines.kg import annotate, read_transcripts
+    from .pipelines.splits import assign_splits, assign_splits_from_dir
+
+    ds = annotate(read_transcripts(args.src), concurrency=args.concurrency,
+                  emit="record")
+    ds = (assign_splits_from_dir(ds, args.ids) if args.ids
+          else assign_splits(ds))
+    samples = build_reference_samples(ds).materialize()
+    if args.parquet_dir:
+        write_reference_samples_parquet(samples, args.parquet_dir)
+    write_reference_json(samples, args.dst, random_seed=args.random_seed)
+    print(json.dumps({"out": args.dst, "samples": samples.count()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ontonotes_5_parsing_ray",
@@ -146,6 +170,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--src", required=True,
                    help="source long-form annotation parquet")
     p.set_defaults(fn=_cmd_stats)
+
+    p = sub.add_parser("export-json",
+                       help="annotate + export the reference's JSON format")
+    p.add_argument("-s", "--src", required=True, help="transcripts parquet")
+    p.add_argument("-d", "--dst", required=True, help="destination .json file")
+    p.add_argument("-i", "--ids", default=None,
+                   help="split-manifest directory (reference -i/--ids)")
+    p.add_argument("-r", "--random-seed", type=int, default=None,
+                   help="seeded per-part sample shuffle (reference -r)")
+    p.add_argument("--parquet-dir", default=None,
+                   help="also write partitioned sample parquet (scale path)")
+    p.add_argument("--concurrency", type=int, default=None)
+    p.set_defaults(fn=_cmd_export_json)
 
     p = sub.add_parser("splits",
                        help="assign + write train/validation/test splits")

@@ -42,3 +42,15 @@ def test_cli_run_kg_and_downstream(ray_session, tiny_transcripts, tmp_path, caps
     splits_dir = str(tmp_path / "splits_out")
     assert main(["splits", "-s", tiny_transcripts, "-d", splits_dir]) == 0
     assert any(p.startswith("split=") for p in os.listdir(splits_dir))
+
+
+def test_cli_export_json(ray_session, tiny_transcripts, tmp_path, capsys):
+    from ontonotes_5_parsing_ray.cli import main
+    from ontonotes_5_parsing_ray.pipelines.export import load_reference_json
+
+    out = str(tmp_path / "onto.json")
+    rc = main(["export-json", "-s", tiny_transcripts, "-d", out,
+               "-r", "13", "--concurrency", "2"])
+    assert rc == 0
+    samples, ann = load_reference_json(out)   # loader validates structure
+    assert len(samples) > 0 and len(ann) > 0
