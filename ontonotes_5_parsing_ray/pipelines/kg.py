@@ -89,13 +89,30 @@ def annotate(
     )
 
 
-def link(annotated: rd.Dataset) -> rd.Dataset:
+LINK_PARTITIONS = 64
+
+
+def link(annotated: rd.Dataset, num_partitions: int = LINK_PARTITIONS) -> rd.Dataset:
     """One grouping pass produces mentions + triples + the error channel.
 
-    Only the compact ``link_json`` payload crosses the conv_id shuffle."""
+    Only the compact ``link_json`` payload crosses the shuffle, and the
+    shuffle key is ``hash(conv_id) % P`` — every conversation still lands
+    whole (coref locality) but the corpus forms ``P`` bounded groups, not
+    one pandas group per conversation (billions at 100 TB). The per-conv
+    kernel runs inside :func:`link_partition_group`."""
+    from ..stages.link import link_partition_group
+    from ..state.checkpoint import partition_of
+
     turns = annotated.map_batches(_prov_columns, batch_format="pyarrow")
-    return turns.groupby("conv_id").map_groups(
-        link_group, batch_format="pandas"
+    with_part = turns.map_batches(
+        lambda t: t.append_column("part", pa.array(
+            [partition_of(c, num_partitions)
+             for c in t.column("conv_id").to_pylist()], pa.int32())),
+        batch_format="pyarrow",
+    )
+    return with_part.groupby("part").map_groups(
+        lambda g: link_partition_group(g.drop(columns=["part"])),
+        batch_format="pandas",
     )
 
 
@@ -125,19 +142,28 @@ def link_salted(
         resolve_conv_group,
     )
 
+    from ..stages.link import link_bucket_partition
+    from ..state.checkpoint import partition_of
+
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor(pc.divide(
+            pc.cast(t.column("turn_idx"), pa.float64()),
+            float(bucket_size))), pa.int64())
+        part = pa.array(
+            [partition_of(f"{c}\x02{b}", LINK_PARTITIONS)
+             for c, b in zip(t.column("conv_id").to_pylist(), bucket.to_pylist())],
+            pa.int32())
+        return t.append_column("bucket", bucket).append_column("part", part)
+
     turns = annotated.map_batches(
         _prov_columns, batch_format="pyarrow"
-    ).map_batches(
-        lambda t: t.append_column(
-            "bucket",
-            pc.cast(pc.floor(pc.divide(
-                pc.cast(t.column("turn_idx"), pa.float64()),
-                float(bucket_size))), pa.int64()),
-        ),
-        batch_format="pyarrow",
-    )
-    bulk = turns.groupby(["conv_id", "bucket"]).map_groups(
-        link_bucket_group, batch_format="pandas"
+    ).map_batches(add_bucket_part, batch_format="pyarrow")
+    # hash((conv, bucket)) partitions: a 10^7-turn conversation's buckets
+    # SPREAD across partitions (the salting goal) while each (conv, bucket)
+    # group stays whole; P bounded pandas groups, not one per bucket.
+    bulk = turns.groupby("part").map_groups(
+        lambda g: link_bucket_partition(g.drop(columns=["part"])),
+        batch_format="pandas",
     ).materialize()
 
     summaries = bulk.map_batches(

@@ -46,6 +46,27 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
     so one grouping pass produces mentions, triples AND the error channel —
     annotation never re-runs for a second consumer.
     """
+    rows = _conv_rows(group)
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=_dtype(c)) for c in UNION_COLUMNS})
+    return pd.DataFrame(rows, columns=UNION_COLUMNS)
+
+
+def link_partition_group(group: pd.DataFrame) -> pd.DataFrame:
+    """One conv-hash PARTITION of annotated turns: run the per-conversation
+    kernel conversation by conversation but build ONE output frame for the
+    whole partition — the bounded-group shape (P pandas constructions per
+    corpus instead of one per conversation)."""
+    rows: List[dict] = []
+    for _conv, g in group.groupby("conv_id", sort=False):
+        rows.extend(_conv_rows(g))
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=_dtype(c)) for c in UNION_COLUMNS})
+    return pd.DataFrame(rows, columns=UNION_COLUMNS)
+
+
+def _conv_rows(group: pd.DataFrame) -> List[dict]:
+    """The linking kernel for ONE conversation's turns -> UNION row dicts."""
     group = group.sort_values("turn_idx", kind="mergesort")
     conv_id = group["conv_id"].iloc[0]
     prov = {int(t): (int(ts), lang) for t, ts, lang in zip(
@@ -87,9 +108,7 @@ def link_group(group: pd.DataFrame) -> pd.DataFrame:
             "pred": t["pred"], "subj": t["subj"], "obj": t["obj"],
             "subj_type": t["subj_type"], "obj_type": t["obj_type"],
         })
-    if not rows:
-        return pd.DataFrame({c: pd.Series(dtype=_dtype(c)) for c in UNION_COLUMNS})
-    return pd.DataFrame(rows, columns=UNION_COLUMNS)
+    return rows
 
 
 def _dtype(col: str):
@@ -134,6 +153,20 @@ _BULK_EMPTY = {
 def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
     """Phase A group fn: one (conv_id, turn_bucket) — bounded memory even
     for a 10^7-turn conversation."""
+    rows = _bucket_rows(group)
+    return pd.DataFrame(rows, columns=BULK_COLUMNS)
+
+
+def link_bucket_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """One hash((conv,bucket)) partition: run the bucket kernel per
+    (conv_id, bucket) but emit ONE frame per partition (bounded groups)."""
+    rows: List[dict] = []
+    for _key, g in group.groupby(["conv_id", "bucket"], sort=False):
+        rows.extend(_bucket_rows(g))
+    return pd.DataFrame(rows, columns=BULK_COLUMNS)
+
+
+def _bucket_rows(group: pd.DataFrame) -> List[dict]:
     from ..functions.kgrules import link_bucket_partial
 
     group = group.sort_values("turn_idx", kind="mergesort")
@@ -183,7 +216,7 @@ def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
             "pending_keys": part["pending_keys"],
         }, ensure_ascii=False),
     })
-    return pd.DataFrame(rows, columns=BULK_COLUMNS)
+    return rows
 
 
 def resolve_conv_group(group: pd.DataFrame) -> pd.DataFrame:
