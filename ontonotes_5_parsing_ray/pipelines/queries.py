@@ -290,20 +290,33 @@ def emb_label_stats(sf_dir: str) -> pd.DataFrame:
 
 def transcript_ordering(sf_dir: str) -> rd.Dataset:
     """Derive a transcript view from documents (conv = source) and enforce
-    stable turn ordering with groupby(conv).map_groups + in-group sort —
-    the K3 invariant with a SQL twin (row_number over partition)."""
+    stable turn ordering — the K3 invariant with a SQL twin (row_number over
+    partition). Shuffles by hash(conv) % P so each conversation lands whole
+    inside one of P bounded groups; ordering inside the partition is a
+    single vectorized sort + per-conv cumcount (no per-conversation UDF)."""
+    from ..functions.hashing import stable_hash64
+
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    P = 64
 
-    def order_group(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        return pd.DataFrame({
-            "conv_id": group["source"],
-            "turn_idx": np.arange(len(group), dtype="int64"),
-            "doc_id": group["doc_id"],
-            "text": group["text"],
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [stable_hash64(s) % P for s in batch.column("source").to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def order_partition(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["source", "doc_id"], kind="mergesort")
+        turn = g.groupby("source", sort=False).cumcount().astype("int64")
+        out = pd.DataFrame({
+            "conv_id": g["source"].to_numpy(),
+            "turn_idx": turn.to_numpy(),
+            "doc_id": g["doc_id"].to_numpy(),
+            "text": g["text"].to_numpy(),
         })
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return docs.groupby("source").map_groups(order_group, batch_format="pandas")
+    return docs.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(order_partition, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
