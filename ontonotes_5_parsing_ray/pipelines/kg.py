@@ -36,7 +36,6 @@ from ..functions.canon import DEFAULT_THRESHOLD, canonical_entity_id
 from ..functions.kgrules import normalize_surface
 from ..stages.annotate import AnnotateTurns
 from ..stages.canonicalize import build_canon_map, canon_map_to_dict
-from ..stages.link import link_group
 from ..stages.util import pool_size
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "ts"]
@@ -136,11 +135,7 @@ def link_salted(
     """
     import pyarrow.compute as pc
 
-    from ..stages.link import (
-        finalize_bulk_rows,
-        link_bucket_group,
-        resolve_conv_group,
-    )
+    from ..stages.link import finalize_bulk_rows, resolve_conv_group
 
     from ..stages.link import link_bucket_partition
     from ..state.checkpoint import partition_of

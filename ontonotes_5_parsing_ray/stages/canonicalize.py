@@ -191,6 +191,22 @@ def _block_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out})
 
 
+def _block_pairs_partition(group: pd.DataFrame, threshold: float) -> pa.Table:
+    """Verified pairs for ONE hash(band) partition: band blocks are
+    enumerated inside the partition (P bounded pandas groups for the whole
+    vocabulary, not one UDF call per LSH band)."""
+    a_out, b_out = [], []
+    for _band, g in group.groupby("band_key", sort=False):
+        uniq = sorted(set(g["norm"]))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                if verify_pair(uniq[i], uniq[j], threshold):
+                    a_out.append(uniq[i])
+                    b_out.append(uniq[j])
+    return pa.table({"a": pa.array(a_out, pa.string()),
+                     "b": pa.array(b_out, pa.string())})
+
+
 def distinct_norms(surfaces: rd.Dataset) -> rd.Dataset:
     """Distinct ``norm`` values with a map-side combine: per-batch dedup in
     ``map_batches`` shrinks the shuffle input before the global groupby."""
@@ -262,13 +278,24 @@ def build_canon_map(
         BandKeys, batch_format="pyarrow", concurrency=pool_size(2),
         batch_size=4096,
     )
-    pairs = banded.groupby("band_key").map_groups(
-        lambda g: _block_pairs(g, threshold), batch_format="pandas"
-    )
-    # duplicate band hits for the same pair are removed by an exact groupby
-    pairs = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).materialize()
+
+    def add_band_part(t: pa.Table) -> pa.Table:
+        parts = [stable_hash64(b) % STAR_PARTITIONS
+                 for b in t.column("band_key").to_pylist()]
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    pairs = banded.map_batches(add_band_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: _block_pairs_partition(g, threshold),
+            batch_format="pandas",
+        )
+    # duplicate band hits for the same pair collapse via a native aggregate
+    from ray.data.aggregate import Count
+
+    pairs = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="n_bands")
+    ).map_batches(lambda t: t.select(["a", "b"]),
+                  batch_format="pyarrow").materialize()
 
     # Connected components over the (tiny relative to input) surface graph
     # by alternating large-star / small-star contractions (Kiveris et al.,

@@ -85,13 +85,23 @@ def _candidate_pairs(
             "doc_b": pa.array([b for _, b in ordered], pa.int64()),
         }))
 
-    def candidates(group: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(group[id_col]))
+    P = 64  # bounded groups: buckets hash into P partitions, pairs are
+    #         enumerated bucket-by-bucket INSIDE each partition (one pandas
+    #         frame per partition, never one UDF call per bucket)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [stable_hash64(str(b)) % P
+                 for b in batch.column(bucket_col).to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def candidates_partition(group: pd.DataFrame) -> pa.Table:
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for _bucket, g in group.groupby(bucket_col, sort=False):
+            ids = sorted(set(g[id_col]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64())})
 
@@ -100,8 +110,9 @@ def _candidate_pairs(
     # duplicate band hits collapse via a native aggregate (one row per pair,
     # no per-pair pandas UDF), then the count column is projected away.
     return (
-        bucket_rows.groupby(bucket_col)
-        .map_groups(candidates, batch_format="pandas")
+        bucket_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates_partition, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
