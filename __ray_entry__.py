@@ -89,8 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotations": kq.kg_annotations,
         "kg_entity_freq": kq.kg_entity_freq,
         "kg_tag_reduce": kq.kg_tag_reduce,
-        # multimodal plumbing (deterministic fake decode)
+        # multimodal plumbing (deterministic fake decode / resize / frames)
         "media_features": kq.media_features,
+        "media_frames": kq.media_frames,
     }
 
 

@@ -96,11 +96,28 @@ def kg_tag_reduce(sf_dir: str) -> pd.DataFrame:
     return tag_frequencies_by_kind(reduced)
 
 
-def media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal decode stage over the deterministic fake media table."""
-    from ..stages.multimodal import decode_media, synthesize_media_table
+def media_frames(sf_dir: str) -> pd.DataFrame:
+    """Frame-sampling stage over the fake media table (flat-map fan-out:
+    one row per sampled video frame; image/audio rows pass through)."""
+    from ..stages.multimodal import sample_frames, synthesize_media_table
 
     media = rd.from_arrow(synthesize_media_table(n=96))
+    out = sample_frames(media, fps_out=1.0, max_frames=6).to_pandas()
+    out = out.drop(columns=["frame_bytes"]).assign(
+        n_bytes=[0] * len(out))  # schema-stable, payloads dropped
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode stage over the deterministic fake media table
+    (images resized first — the decode->resize->feature chain)."""
+    from ..stages.multimodal import (
+        decode_media,
+        resize_images,
+        synthesize_media_table,
+    )
+
+    media = resize_images(rd.from_arrow(synthesize_media_table(n=96)), 64, 64)
     out = decode_media(media, mode="fake").to_pandas()
     out["features"] = out["features"].map(lambda f: list(f))
     return out.sort_values("media_id").reset_index(drop=True)

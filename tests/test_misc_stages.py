@@ -221,3 +221,40 @@ def test_sessionize_salted_equals_plain_with_hot_user(ray_session):
         plain.astype({"session_idx": "int64"}),
         salted.astype({"session_idx": "int64"}))
     assert plain[plain["user_id"] == 1]["session_idx"].max() == 1  # 2 sessions
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize/frame-sample plumbing: schemas, pass-through rules, frame
+    fan-out bounds, determinism; strict mode raises (codecs absent)."""
+    import pytest
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(n=48))
+    resized = resize_images(media, 32, 32).to_pandas()
+    imgs = resized[resized["kind"] == "image"]
+    assert (imgs["width"] == 32).all() and (imgs["height"] == 32).all()
+    auds = resized[resized["kind"] == "audio"]
+    assert (auds["width"] == 0).all()          # non-images untouched
+    assert len(resized) == 48
+
+    frames = sample_frames(media, fps_out=2.0, max_frames=4).to_pandas()
+    vids = frames[frames["kind"] == "video_frame"]
+    assert len(vids) > 0
+    assert vids.groupby("media_id")["frame_idx"].count().max() <= 4
+    assert (frames[frames["kind"] != "video_frame"]["frame_idx"] == -1).all()
+
+    # determinism: same seed table -> identical frame bytes
+    frames2 = sample_frames(rd.from_arrow(synthesize_media_table(n=48)),
+                            fps_out=2.0, max_frames=4).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = frames2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame_bytes"] == b["frame_bytes"]).all()
+
+    with pytest.raises(Exception):
+        resize_images(media, mode="strict").to_pandas()
