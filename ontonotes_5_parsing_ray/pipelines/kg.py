@@ -327,10 +327,18 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
         df = t.select(["conv_id", "turn_idx", "surface", "entity_type",
                        "ts", "lang"]).to_pandas()
         if not len(df):
-            return pd.DataFrame(columns=[
-                "canonical_surface", "surface", "entity_type", "n",
-                "first_conv_id", "first_turn_idx", "first_seen_ts", "lang",
-            ])
+            # dtype-stable empty frame: schemaless empty blocks confuse the
+            # streaming executor's schema unification
+            return pd.DataFrame({
+                "canonical_surface": pd.Series(dtype=object),
+                "surface": pd.Series(dtype=object),
+                "entity_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "first_conv_id": pd.Series(dtype=object),
+                "first_turn_idx": pd.Series(dtype="int64"),
+                "first_seen_ts": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype=object),
+            })
         df["canonical_surface"] = [
             canon.get(normalize_surface(s), normalize_surface(s))
             for s in df["surface"]
@@ -415,10 +423,15 @@ def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
             ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon", "conv_id"]
         ).to_pandas()
         if not len(df):
-            return pd.DataFrame(columns=[
-                "subj_id", "pred", "obj_id", "subj_canon", "obj_canon",
-                "n", "first_conv_id",
-            ])
+            return pd.DataFrame({
+                "subj_id": pd.Series(dtype=object),
+                "pred": pd.Series(dtype=object),
+                "obj_id": pd.Series(dtype=object),
+                "subj_canon": pd.Series(dtype=object),
+                "obj_canon": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "first_conv_id": pd.Series(dtype=object),
+            })
         return df.groupby(
             ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"], sort=True
         ).agg(n=("conv_id", "size"), first_conv_id=("conv_id", "min")).reset_index()
