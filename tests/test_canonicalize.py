@@ -75,3 +75,68 @@ def test_distributed_path_at_mid_scale(ray_session):
     # the planted variants actually merged (clustering did real work)
     merged = sum(1 for k, v in driver.items() if k != v)
     assert merged > 100
+
+
+def test_star_components_random_graphs_vs_union_find(ray_session):
+    """The distributed star-contraction must compute exact connected
+    components on random graphs (checked against a pure union-find)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.canonicalize import (
+        _label_key,
+        _label_to_norm,
+        _star_components,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        names = [f"n{i:03d}" for i in range(30)]
+        edges = set()
+        for i in range(30):
+            for j in range(i + 1, 30):
+                if rng.rand() < 0.08:
+                    edges.add((names[i], names[j]))
+        if not edges:
+            continue
+        # union-find ground truth with (len, lex)-min representative
+        parent = {n: n for n in names}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps = {}
+        for n in names:
+            comps.setdefault(find(n), []).append(n)
+        truth = {}
+        for members in comps.values():
+            rep = min(members, key=lambda s: (len(s), s))
+            for m in members:
+                truth[m] = rep
+
+        enc = [(min(_label_key(a), _label_key(b)),
+                max(_label_key(a), _label_key(b))) for a, b in edges]
+        D = rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in enc], pa.string()),
+            "b": pa.array([e[1] for e in enc], pa.string()),
+        }))
+        final = _star_components(D).to_pandas()
+        got = {n: n for n in names}
+        nbrs = {}
+        for a, b in zip(final["a"], final["b"]):
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for n in names:
+            e = _label_key(n)
+            if e in nbrs:
+                got[n] = _label_to_norm(min(min(nbrs[e]), e))
+        # isolated nodes keep themselves; connected nodes point at comp min
+        assert got == {n: truth[n] for n in names}, f"seed {seed}"
