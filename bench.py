@@ -69,6 +69,8 @@ def run_bench() -> dict:
     for name, fn in [
         ("q1_pricing_summary", q.q1_pricing_summary),
         ("q3_top_orders", q.q3_top_orders),
+        ("q5_nation_revenue", q.q5_nation_revenue),
+        ("top_customers", q.top_customers),
         ("events_hourly", q.events_hourly),
         ("docs_exact_dedup", lambda d: q.docs_exact_dedup(d).count()),
         ("docs_token_stats", lambda d: q.docs_token_stats(d).count()),
