@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "docs_bpe_tokens": q.docs_bpe_tokens,
+        "docs_clean_corpus": q.docs_clean_corpus,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -245,6 +246,23 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1),
                          6) AS stopword_ratio
             FROM documents
+        """,
+        "docs_clean_corpus": r"""
+            WITH m AS (
+                SELECT doc_id, text,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1) AS alpha_ratio,
+                       len(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1) AS digit_ratio
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, text FROM m
+                WHERE n_tokens >= 21 AND round(alpha_ratio, 6) >= 0.815
+                  AND round(digit_ratio, 6) <= 0.3
+            )
+            SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+            FROM kept GROUP BY text
         """,
         "docs_lang_counts": """
             SELECT lang, count(*) AS n_samples

@@ -258,6 +258,31 @@ def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def docs_clean_corpus(sf_dir: str) -> rd.Dataset:
+    """The composed training-data cleaning pipeline, end to end: quality
+    metrics (actor pool) -> threshold filter -> exact dedup keep-first.
+    Every stage streams; the only shuffle is the dedup groupby. The whole
+    composition is oracle-checked (the SQL twin recomputes the metrics and
+    filter inline)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.util import pool_size
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = docs.map_batches(
+        TextStats, batch_format="pandas", batch_size=1024,
+        concurrency=pool_size(2),
+    )
+
+    def keep(batch: pd.DataFrame) -> pa.Table:
+        mask = ((batch["n_tokens"] >= 21)
+                & (batch["alpha_ratio"] >= 0.815)
+                & (batch["digit_ratio"] <= 0.3))
+        out = batch.loc[mask, ["doc_id", "text"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return exact_dedup(stats.map_batches(keep, batch_format="pandas"))
+
+
 # --------------------------------------------------------------------------
 # Embeddings: similarity search
 # --------------------------------------------------------------------------
