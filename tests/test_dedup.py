@@ -129,3 +129,26 @@ def test_minhash_on_corpus_larger_than_payload(ray_session):
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert (300, 700) in got
     assert all(a == 300 and b == 700 for a, b in got)
+
+
+def test_candidate_pairs_distributed_equals_driver(ray_session):
+    """Force the distributed pair-generation branch (driver_limit=0) and
+    check it emits exactly the driver branch's dedup'd pair set."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import _candidate_pairs
+
+    rng = np.random.RandomState(4)
+    buckets = [f"b{rng.randint(0, 40)}" for _ in range(500)]
+    ids = [int(rng.randint(0, 120)) for _ in range(500)]
+    rows = rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    }))
+    via_driver = _candidate_pairs(rows, "bucket", "doc_id") \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    via_dist = _candidate_pairs(rows, "bucket", "doc_id", driver_limit=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(via_driver) > 0
+    pd.testing.assert_frame_equal(via_driver, via_dist)
