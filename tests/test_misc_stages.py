@@ -258,3 +258,47 @@ def test_multimodal_resize_and_frame_sample(ray_session):
 
     with pytest.raises(Exception):
         resize_images(media, mode="strict").to_pandas()
+
+
+def test_preagg_distributed_branch_equals_driver(ray_session):
+    """driver_limit=0 forces the distributed groupby.aggregate combine; it
+    must equal the columnar driver combine exactly (incl. multi-key groups
+    and all four aggregate kinds)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        preagg_groupby,
+        windowed_event_counts,
+    )
+
+    rng = np.random.RandomState(8)
+    n = 5000
+    ds = rd.from_arrow(pa.table({
+        "k1": pa.array([f"g{rng.randint(0, 40)}" for _ in range(n)], pa.string()),
+        "k2": pa.array([int(rng.randint(0, 5)) for _ in range(n)], pa.int64()),
+        "v": pa.array(rng.randn(n).round(4), pa.float64()),
+    }))
+    aggs = {"n": ("v", "count"), "s": ("v", "sum"),
+            "lo": ("v", "min"), "hi": ("v", "max")}
+    drv = preagg_groupby(ds, ["k1", "k2"], aggs).reset_index(drop=True)
+    dist = preagg_groupby(ds, ["k1", "k2"], aggs, driver_limit=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        drv.sort_values(["k1", "k2"]).reset_index(drop=True)[sorted(drv.columns)],
+        dist.sort_values(["k1", "k2"]).reset_index(drop=True)[sorted(dist.columns)],
+        check_like=True)
+
+    # windowed aggregate: distributed combine == driver combine
+    epochs = 1_700_000_000 + rng.randint(0, 40 * 3600, size=n)
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(epochs * 1_000_000, pa.timestamp("us")),
+        "event_type": pa.array([f"t{rng.randint(0, 3)}" for _ in range(n)],
+                               pa.string()),
+        "value": pa.array(rng.rand(n).round(4), pa.float64()),
+    }))
+    a = windowed_event_counts(ev, 3600).reset_index(drop=True)
+    b = windowed_event_counts(ev, 3600, driver_limit=0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
