@@ -161,14 +161,19 @@ def link_salted(
         batch_format="pandas",
     ).materialize()
 
-    summaries = bulk.map_batches(
-        lambda t: t.filter(pc.equal(t.column("row_kind"), "summary")).select(
-            ["conv_id", "bucket", "summary_json"]
-        ),
-        batch_format="pyarrow",
-    )
-    resolutions = summaries.groupby("conv_id").map_groups(
-        resolve_conv_group, batch_format="pandas"
+    from ..stages.link import resolve_conv_partition
+
+    def summary_rows(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t.column("row_kind"), "summary")).select(
+            ["conv_id", "bucket", "summary_json"])
+        return s.append_column("rpart", pa.array(
+            [partition_of(c, LINK_PARTITIONS)
+             for c in s.column("conv_id").to_pylist()], pa.int32()))
+
+    summaries = bulk.map_batches(summary_rows, batch_format="pyarrow")
+    resolutions = summaries.groupby("rpart").map_groups(
+        lambda g: resolve_conv_partition(g.drop(columns=["rpart"])),
+        batch_format="pandas",
     ).to_pandas()
 
     chain_maps: Dict[str, Dict[str, int]] = {}

@@ -221,6 +221,26 @@ def _bucket_rows(group: pd.DataFrame) -> List[dict]:
 
 def resolve_conv_group(group: pd.DataFrame) -> pd.DataFrame:
     """Phase B group fn: one conv_id's bucket SUMMARIES only (tiny)."""
+    return pd.DataFrame(
+        _resolve_rows(group),
+        columns=["conv_id", "kind", "key", "chain_id", "surface",
+                 "norm", "entity_type"],
+    )
+
+
+def resolve_conv_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """Phase B over one hash(conv) partition of summaries: per-conv merge
+    kernels inside one frame (bounded groups, not one UDF per conv)."""
+    rows: List[dict] = []
+    for _conv, g in group.groupby("conv_id", sort=False):
+        rows.extend(_resolve_rows(g))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "kind", "key", "chain_id", "surface",
+                       "norm", "entity_type"],
+    )
+
+
+def _resolve_rows(group: pd.DataFrame) -> List[dict]:
     from ..functions.kgrules import merge_bucket_summaries
 
     group = group.sort_values("bucket", kind="mergesort")
@@ -244,10 +264,7 @@ def resolve_conv_group(group: pd.DataFrame) -> pd.DataFrame:
         rows.append({"conv_id": conv_id, "kind": "noop", "key": "",
                      "chain_id": -1, "surface": "", "norm": "",
                      "entity_type": ""})
-    return pd.DataFrame(
-        rows, columns=["conv_id", "kind", "key", "chain_id", "surface",
-                       "norm", "entity_type"],
-    )
+    return rows
 
 
 def _union_section(n: int, **cols) -> pd.DataFrame:
