@@ -234,10 +234,19 @@ def knn_lsh_indexed(
     ).head(k).reset_index(drop=True)
 
 
-def label_centroids(embeddings: rd.Dataset) -> pd.DataFrame:
+LABEL_CENTROID_DRIVER_LIMIT = 200_000
+
+
+def label_centroids(
+    embeddings: rd.Dataset,
+    driver_limit: int = LABEL_CENTROID_DRIVER_LIMIT,
+) -> pd.DataFrame:
     """Per-label mean vector via mergeable per-batch partial sums
-    (sum + count per label per batch, combined on the driver — the sketch
-    pattern: the shuffle moves one row per (batch, label))."""
+    (sum + count per label per batch — the shuffle moves one row per
+    (batch, label)). Small partial sets combine on the driver; above
+    ``driver_limit`` partial rows (labels x blocks at a scale where even
+    that is big), sums EXPLODE to (label, dim, s) rows and combine with a
+    native distributed Sum — vectors never ride a driver loop."""
 
     def partials(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch.column("label").to_pylist())
@@ -254,13 +263,49 @@ def label_centroids(embeddings: rd.Dataset) -> pd.DataFrame:
             "n": pa.array(out_n, pa.int64()),
         })
 
-    df = embeddings.select_columns(["label", "embedding"]).map_batches(
+    parts = embeddings.select_columns(["label", "embedding"]).map_batches(
         partials, batch_format="pyarrow"
-    ).to_pandas()
+    ).materialize()
+
+    if parts.count() <= driver_limit:
+        df = parts.to_pandas()
+        rows = []
+        for label, group in df.groupby("label"):
+            total = np.sum(np.asarray(group["vec_sum"].tolist()), axis=0)
+            n = group["n"].sum()
+            rows.append({"label": int(label), "n": int(n),
+                         "centroid": (total / n).tolist()})
+        return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)
+
+    from ray.data.aggregate import Sum as RSum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_pylist()
+        sums = batch.column("vec_sum").to_pylist()
+        ns = batch.column("n").to_pylist()
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab, vs, n in zip(labels, sums, ns):
+            for d, s in enumerate(vs):
+                out_l.append(lab)
+                out_d.append(d)
+                out_s.append(s)
+                out_n.append(n if d == 0 else 0)  # count carried on dim 0
+        return pa.table({
+            "label": pa.array(out_l, pa.int32()),
+            "dim": pa.array(out_d, pa.int32()),
+            "s": pa.array(out_s, pa.float64()),
+            "n_part": pa.array(out_n, pa.int64()),
+        })
+
+    agg = parts.map_batches(explode, batch_format="pyarrow").groupby(
+        ["label", "dim"]
+    ).aggregate(RSum("s", alias_name="s"),
+                RSum("n_part", alias_name="n_part")).to_pandas()
+    # reassembly is O(labels x dim) — the final result size itself
     rows = []
-    for label, group in df.groupby("label"):
-        total = np.sum(np.asarray(group["vec_sum"].tolist()), axis=0)
-        n = group["n"].sum()
-        rows.append({"label": int(label), "n": int(n),
-                     "centroid": (total / n).tolist()})
+    for label, g in agg.groupby("label"):
+        g = g.sort_values("dim")
+        n = int(g["n_part"].sum())  # only dim 0 carried the count
+        rows.append({"label": int(label), "n": n,
+                     "centroid": (g["s"].to_numpy() / n).tolist()})
     return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)

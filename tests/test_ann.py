@@ -85,3 +85,28 @@ def test_lsh_index_partitioned_equals_filter_path(ray_session, tmp_path):
     assert via_index["vec_id"].tolist() == via_scan["vec_id"].tolist()
     assert via_index["cosine"].tolist() == via_scan["cosine"].tolist()
     assert via_index["vec_id"].iloc[0] == 17  # self is its own nearest
+
+
+def test_label_centroids_distributed_equals_driver(ray_session):
+    """driver_limit=0 forces the exploded-dimension distributed combine; it
+    must equal the driver combine to float precision."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.ann import label_centroids
+
+    rng = np.random.RandomState(2)
+    n = 600
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array([int(rng.randint(0, 7)) for _ in range(n)], pa.int32()),
+        "embedding": pa.array([rng.randn(12).round(5).tolist() for _ in range(n)],
+                              pa.list_(pa.float64())),
+    }))
+    drv = label_centroids(ds)
+    dist = label_centroids(ds, driver_limit=0)
+    assert drv["label"].tolist() == dist["label"].tolist()
+    assert drv["n"].tolist() == dist["n"].tolist()
+    for a, b in zip(drv["centroid"], dist["centroid"]):
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
