@@ -379,16 +379,12 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
-    """DISTINCT via map-side per-batch dedup + tiny combine (never a full
-    row shuffle: the per-batch distinct stream is vocabulary-sized)."""
+    """DISTINCT via the pre-aggregated groupby (map-side per-batch dedup,
+    auto-routed driver/distributed combine)."""
     events = _read(sf_dir, "events", columns=["event_type"])
-
-    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates("event_type")
-
-    parts = events.map_batches(per_batch, batch_format="pandas").to_pandas()
-    return parts.drop_duplicates("event_type").sort_values("event_type") \
-                .reset_index(drop=True)
+    out = preagg_groupby(events, ["event_type"],
+                         {"n": ("event_type", "count")})
+    return out[["event_type"]].sort_values("event_type").reset_index(drop=True)
 
 
 def events_user_stats(sf_dir: str) -> pd.DataFrame:
