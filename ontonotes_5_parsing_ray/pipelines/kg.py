@@ -4,7 +4,7 @@ Ray-Data-first composition (SURVEY.md §3.4):
 
     read_parquet (pruned columns)
       -> map_batches(AnnotateTurns)               [actor pool, Arrow batches]
-      -> groupby(conv_id).map_groups(link_group)  [stable turn order + coref]
+      -> groupby(hash(conv) % P).map_groups      [stable turn order + coref]
       -> canonicalization (MinHash/LSH + min-label components)
       -> broadcast canon map -> rewrite triples   [map_batches]
       -> groupby aggregates -> nodes / edges

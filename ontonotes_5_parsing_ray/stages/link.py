@@ -1,18 +1,18 @@
 """Conversation-scoped linking: stable turn ordering + coref + SVO triples.
 
-``ds.groupby("conv_id").map_groups(link_group, batch_format="pandas")`` —
-the group function sorts by ``turn_idx`` *inside* the group (the stable-
-turn-ordering invariant, SURVEY.md K3/J2a: never rely on global dataset
-order), then runs the shared ``link_conversation`` kernel.
+The shuffle key is ``hash(conv_id) % P`` (see ``pipelines/kg.py:link``):
+every conversation lands whole inside one of P bounded partitions
+(coref locality is inherent to the semantics), and
+:func:`link_partition_group` runs the per-conversation kernel — which sorts
+by ``turn_idx`` *inside* each conversation (the stable-turn-ordering
+invariant, SURVEY.md K3/J2a: never rely on global dataset order) — over all
+of a partition's conversations, emitting ONE frame per partition.
 
 Output is a single union table with a ``row_kind`` discriminator
-(``mention`` | ``triple``) so one ``map_groups`` pass yields both products;
-downstream splits with vectorized filters. Skew note: one conversation =
-one group; extremely long conversations are bounded by the generator's
-``skew_turns`` and, at production scale, by the salted pre-aggregation in
-``pipelines/kg.py`` (per-turn annotation is already salted by block; only
-this linking stage needs whole-conversation locality, which is inherent to
-coreference semantics).
+(``mention`` | ``triple``) so one grouping pass yields both products;
+downstream splits with vectorized filters. Skew note: a conversation too
+large even for a partition is handled by the salted two-phase variant
+(``link_salted``), which bounds groups by turn-bucket.
 """
 
 from __future__ import annotations
