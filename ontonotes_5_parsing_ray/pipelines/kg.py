@@ -463,6 +463,7 @@ def run_kg_pipeline(
     canon_threshold: float = DEFAULT_THRESHOLD,
     concurrency: Optional[int] = None,
     salted_bucket_size: Optional[int] = None,
+    canon_driver_limit: Optional[int] = None,
 ) -> Dict[str, rd.Dataset]:
     """Build the KG in memory; returns the component Datasets.
 
@@ -477,8 +478,11 @@ def run_kg_pipeline(
     else:
         linked = link(annotated).materialize()
     mentions, triples = split_linked(linked)
+    canon_kwargs = ({} if canon_driver_limit is None
+                    else {"driver_limit": canon_driver_limit})
     canon_map = build_canon_map(
-        surfaces_for_canon(mentions, triples), threshold=canon_threshold
+        surfaces_for_canon(mentions, triples), threshold=canon_threshold,
+        **canon_kwargs,
     )
     canon_dict = canon_map_to_dict(canon_map)
     canon_ref = ray.put(canon_dict)

@@ -123,3 +123,23 @@ def test_canonicalize_triples_join_equals_broadcast(ray_session, tiny_transcript
     b = bcast[cols].sort_values(key).reset_index(drop=True)
     j = joined[cols].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(b, j)
+
+
+def test_full_pipeline_with_distributed_canon_path(ray_session, tiny_transcripts):
+    """End-to-end KG build with the DISTRIBUTED canonicalization path forced
+    (canon_driver_limit=0: LSH banding + star components, no driver
+    clustering) must produce the identical graph."""
+    from ontonotes_5_parsing_ray.pipelines.kg import run_kg_pipeline
+
+    fast = run_kg_pipeline(tiny_transcripts, concurrency=2)
+    dist = run_kg_pipeline(tiny_transcripts, concurrency=2,
+                           canon_driver_limit=0)
+    f_edges = fast["edges"].to_pandas()
+    d_edges = dist["edges"].to_pandas()
+    key = lambda df: set(zip(df["subj_id"], df["pred"], df["obj_id"],
+                             df["n_occurrences"]))
+    assert key(f_edges) == key(d_edges)
+    f_nodes = fast["nodes"].to_pandas()
+    d_nodes = dist["nodes"].to_pandas()
+    assert (set(zip(f_nodes["canonical_id"], f_nodes["n_mentions"]))
+            == set(zip(d_nodes["canonical_id"], d_nodes["n_mentions"])))
