@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.customers_without_orders,
         "lineitem_discount_bands": q.lineitem_discount_bands,
         "orders_lineitem_by_status": q.orders_lineitem_by_status,
+        "supplier_nation_balance": q.supplier_nation_balance,
+        "brand_revenue": q.brand_revenue,
         # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -138,6 +140,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name
             ORDER BY total_price DESC, c.c_custkey
             LIMIT 10
+        """,
+        "supplier_nation_balance": """
+            SELECT n.n_name, count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS acctbal_sum
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "brand_revenue": """
+            SELECT p.p_brand, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand
         """,
         "events_hourly": """
             SELECT event_type,

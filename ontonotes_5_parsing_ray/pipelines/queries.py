@@ -442,6 +442,50 @@ def orders_lineitem_by_status(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def supplier_nation_balance(sf_dir: str) -> pd.DataFrame:
+    """Per-nation supplier count + account-balance sum: broadcast dimension
+    chain (nation) over the streaming supplier scan."""
+    nation = _read_pdf(sf_dir, "nation", ["n_nationkey", "n_name"])
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(
+        sup, nation.rename(columns={"n_nationkey": "s_nationkey"}),
+        on=["s_nationkey"],
+    )
+    agg = preagg_groupby(joined, ["n_name"], {
+        "n_suppliers": ("s_acctbal", "count"),
+        "acctbal_sum": ("s_acctbal", "sum"),
+    })
+    agg["acctbal_sum"] = round_half_away(agg["acctbal_sum"].to_numpy(), 2)
+    return agg.sort_values("n_name").reset_index(drop=True)
+
+
+def brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per part brand: lineitem ⋈ part resolved with the distributed
+    hash join on partkey (part scales with SF — treated as a fact, not a
+    broadcast side), then a pre-aggregated groupby over the tiny brand
+    vocabulary."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(li, part, on=["l_partkey"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return batch[["p_brand", "revenue"]]
+
+    agg = preagg_groupby(
+        joined.map_batches(rev, batch_format="pandas"),
+        ["p_brand"],
+        {"n_items": ("revenue", "count"), "revenue": ("revenue", "sum")},
+    )
+    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 2)
+    return agg.sort_values("p_brand").reset_index(drop=True)
+
+
 def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k (LSH-bucketed scale path; recall measured vs the
     brute-force baseline in tests)."""
