@@ -39,14 +39,35 @@ from ..stages.canonicalize import build_canon_map, canon_map_to_dict
 from ..stages.util import pool_size
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "ts"]
+REQUIRED_TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def _transcript_schema_names(path: str) -> set:
+    import pyarrow.parquet as pq
+
+    try:
+        return set(pq.ParquetDataset(path).schema.names)
+    except Exception:
+        # fall back to letting read_parquet surface the real error
+        return set(TRANSCRIPT_COLUMNS)
 
 
 def read_transcripts(path: str) -> rd.Dataset:
     """Column-pruned read: ``tool`` never leaves storage (SURVEY.md 'prune
-    at the read'); ``ts`` rides along as node provenance
+    at the read'); ``ts`` rides along as node provenance when present
     (``first_seen_ts``, reference ``ontonotes5_to_json.py:110-111``'s
-    per-record metadata analogue)."""
-    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    per-record metadata analogue). ``ts`` (and ``lang``) are OPTIONAL: the
+    column list is intersected with the file schema so a ts-less transcript
+    parquet reads cleanly and ``_prov_columns`` fills ``ts = -1``."""
+    names = _transcript_schema_names(path)
+    missing = [c for c in REQUIRED_TRANSCRIPT_COLUMNS if c not in names]
+    if missing:
+        raise ValueError(
+            f"transcripts at {path} lack required column(s) {missing}; "
+            f"need {REQUIRED_TRANSCRIPT_COLUMNS} (ts optional)"
+        )
+    cols = [c for c in TRANSCRIPT_COLUMNS if c in names]
+    return rd.read_parquet(path, columns=cols)
 
 
 LINK_COLUMNS = ["conv_id", "turn_idx", "ok", "link_json", "error", "ts", "lang"]
@@ -55,11 +76,19 @@ LINK_COLUMNS = ["conv_id", "turn_idx", "ok", "link_json", "error", "ts", "lang"]
 def _prov_columns(batch: pa.Table) -> pa.Table:
     """Normalize provenance: ``ts`` -> int64 epoch-µs (resolution-explicit),
     ``lang`` -> string; inputs lacking either get -1 / "" so every link path
-    sees one schema."""
+    sees one schema. Timestamp-typed ``ts`` is cast THROUGH timestamp('us')
+    first — a bare int64 cast keeps the source unit, so pandas-default ns
+    parquet would yield epoch-ns (1000x the documented µs). Nulls become -1
+    (the missing-provenance sentinel) instead of NaN."""
     n = len(batch)
     names = set(batch.column_names)
-    ts = (pc.cast(batch.column("ts"), pa.int64()) if "ts" in names
-          else pa.array([-1] * n, pa.int64()))
+    if "ts" in names:
+        col = batch.column("ts")
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        ts = pc.fill_null(pc.cast(col, pa.int64()), -1)
+    else:
+        ts = pa.array([-1] * n, pa.int64())
     lang = (batch.column("lang") if "lang" in names
             else pa.array([""] * n, pa.string()))
     return pa.table({

@@ -116,15 +116,24 @@ def materialize_kg(
         "canon_threshold": canon_threshold,
         "salted_bucket_size": salted_bucket_size,
     }
-    if os.path.isfile(config_path):
+    if resume and os.path.isfile(config_path):
         with open(config_path) as fh:
             existing = _json.load(fh)
-        if existing != config:
+        # Compare only keys the stored config actually recorded: older
+        # checkpoints (fewer lineage keys) still resume with identical
+        # settings; a genuinely different setting still fail-stops.
+        mismatched = {k: (v, config.get(k))
+                      for k, v in existing.items() if config.get(k) != v}
+        if mismatched:
             raise ValueError(
                 f"checkpoint at {out_dir} was written with {existing}; "
-                f"got {config}. Use the original settings or a fresh out_dir."
+                f"got {config} (mismatched: {mismatched}). "
+                "Use the original settings or a fresh out_dir."
             )
     else:
+        # fresh run (or resume=False: every partition reruns anyway, so the
+        # new config is authoritative — an intentional full rerun into an
+        # existing out_dir must not be blocked by the old _CONFIG)
         with open(config_path, "w") as fh:
             _json.dump(config, fh)
 

@@ -488,29 +488,57 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
 
 def emb_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k (LSH-bucketed scale path; recall measured vs the
-    brute-force baseline in tests)."""
-    from ..stages.ann import knn_lsh
+    brute-force baseline in tests).
 
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_lsh(emb, _query_vector(sf_dir), k=10, n_planes=6, multiprobe=3)
+    Delegates to the partitioned on-disk index (one code path for pruning:
+    probe-bucket selection happens at the READ). The full-scan
+    ``stages.ann.knn_lsh`` remains as the no-index fallback and the parity
+    baseline in tests — both produce identical results for the same
+    (planes, multiprobe) configuration (asserted in tests/test_ann.py)."""
+    from ..stages.ann import knn_lsh_indexed
+
+    idx_dir = _ensure_lsh_index(sf_dir)
+    return knn_lsh_indexed(idx_dir, _query_vector(sf_dir), k=10, multiprobe=3)
 
 
 def emb_knn_lsh_indexed(sf_dir: str) -> pd.DataFrame:
     """Top-k through the PARTITIONED on-disk LSH index (the 100 TB layout:
     the query opens only its probe buckets' partitions). Index cached under
     /tmp per sf tag; identical planes to the scan path."""
-    import pyarrow.parquet as pq
+    from ..stages.ann import knn_lsh_indexed
 
-    from ..stages.ann import build_lsh_index, knn_lsh_indexed
+    idx_dir = _ensure_lsh_index(sf_dir)
+    return knn_lsh_indexed(idx_dir, _query_vector(sf_dir), k=10, multiprobe=3)
 
+
+def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
+    """Build (or reuse) the cached partitioned LSH index for ``sf_dir``.
+
+    Atomic: the index is built into a scratch dir and ``os.replace``d into
+    place (marker written last, inside the scratch dir) — a crash mid-build
+    never leaves a half-populated bucket layout that a later rebuild would
+    append into. The cache key includes the source parquet's size+mtime so a
+    regenerated embeddings table invalidates the cache."""
+    import shutil
+
+    from ..stages.ann import build_lsh_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/onr_lsh_index/{tag}"
+    idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
+        tmp_dir = idx_dir + ".build"
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
         build_lsh_index(
             _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-            idx_dir, n_planes=6,
-        )
-    return knn_lsh_indexed(idx_dir, _query_vector(sf_dir), k=10, multiprobe=3)
+            tmp_dir, n_planes=n_planes,
+        )  # writes _META last, after the parquet
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.replace(tmp_dir, idx_dir)
+    return idx_dir
 
 
 def emb_near_dup_pairs(sf_dir: str) -> pd.DataFrame:

@@ -73,3 +73,37 @@ def test_resume_rejects_config_drift(ray_session, tiny_transcripts, tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
                        concurrency=2, salted_bucket_size=64)
+
+
+def test_resume_accepts_older_config_subset(ray_session, tiny_transcripts,
+                                            tmp_path):
+    """A checkpoint whose _CONFIG predates newer lineage keys (e.g. only
+    num_partitions) must still resume when the overlapping settings match."""
+    import json
+
+    from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
+
+    out_dir = str(tmp_path / "kg_old_cfg")
+    materialize_kg(tiny_transcripts, out_dir, num_partitions=2, concurrency=2)
+    cfg_path = os.path.join(out_dir, "_CONFIG")
+    with open(cfg_path, "w") as fh:
+        json.dump({"num_partitions": 2}, fh)  # simulate a pre-round-2 config
+    out = materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
+                         concurrency=2)  # must not raise
+    assert os.path.isdir(out["triples"])
+
+
+def test_no_resume_rewrites_config(ray_session, tiny_transcripts, tmp_path):
+    """resume=False is an intentional full rerun: the old _CONFIG must not
+    block it, and the new config becomes authoritative."""
+    import json
+
+    from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
+
+    out_dir = str(tmp_path / "kg_rerun")
+    materialize_kg(tiny_transcripts, out_dir, num_partitions=2, concurrency=2)
+    materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
+                   concurrency=2, canon_threshold=0.31, resume=False)
+    with open(os.path.join(out_dir, "_CONFIG")) as fh:
+        cfg = json.load(fh)
+    assert cfg["canon_threshold"] == 0.31
