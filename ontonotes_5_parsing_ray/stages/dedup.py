@@ -120,38 +120,95 @@ def _candidate_pairs(
     )
 
 
-def _candidate_payload(
-    docs: rd.Dataset, pairs: rd.Dataset, payload_fn, columns
-) -> dict:
-    """Driver-resident payload for CANDIDATE docs only (never the corpus).
+# Candidate-count switchover for the verify stage: at or below this many
+# distinct candidate docs, their payload (signatures, texts) is computed
+# distributed, shipped to the driver ONCE and broadcast into the verify
+# map (no extra shuffle). Above it, nothing candidate-shaped ever touches
+# the driver: payloads are attached to the pairs with two hash-partitioned
+# joins (pairs ⋈ payload on doc_a, then on doc_b) and verification runs
+# inside the join partitions.
+PAYLOAD_BROADCAST_LIMIT = 200_000
 
-    ``pairs`` is materialized, its distinct ids become a broadcast filter
-    over the docs stream, and ``payload_fn`` runs DISTRIBUTED over the
-    surviving docs; only its (per-candidate) output reaches the driver.
-    Near-dup candidates are a small fraction of a deduplicated corpus; if a
-    pathological corpus made even the candidate set exceed driver memory,
-    the same pairs Dataset feeds a hash-partitioned join on doc_id instead
-    (one extra shuffle, same semantics).
-    """
+
+def _distinct_candidate_ids(pairs: rd.Dataset) -> rd.Dataset:
+    """Distinct doc ids appearing in any candidate pair, as a Dataset
+    (map-side per-batch unique, then one small groupby combine)."""
+    from ray.data.aggregate import Count
+
+    def distinct_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.concatenate([a, b])) if len(a) else np.array([], np.int64)
+        return pa.table({"doc_id": pa.array(uniq.astype(np.int64), pa.int64())})
+
+    per_batch = pairs.map_batches(distinct_ids, batch_format="pyarrow")
+    return per_batch.groupby("doc_id").aggregate(
+        Count(alias_name="n")
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _ids_set(cand_ids: rd.Dataset) -> set:
+    """Driver id set from a (small, already-counted) id Dataset; tolerates
+    the empty-Dataset schema loss through to_pandas."""
+    df = cand_ids.to_pandas()
+    return set(df["doc_id"].tolist()) if "doc_id" in df.columns else set()
+
+
+def _broadcast_candidate_payload(
+    docs: rd.Dataset, cand_ids: set, payload_fn, columns
+) -> pd.DataFrame:
+    """Small-candidate-set fast path: broadcast the id set as a filter over
+    the docs stream, run ``payload_fn`` DISTRIBUTED over the survivors, and
+    ship only its per-candidate output to the driver."""
     import ray
 
-    def distinct_ids(batch: pd.DataFrame) -> pa.Table:
-        ids = pd.unique(pd.concat([batch["doc_a"], batch["doc_b"]]))
-        return pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64))})
-
-    ids_df = pairs.map_batches(distinct_ids, batch_format="pandas").to_pandas()
-    cand_ids = (set(ids_df["doc_id"].tolist())
-                if "doc_id" in ids_df.columns else set())
     ids_ref = ray.put(cand_ids)
 
     def fil(batch: pd.DataFrame) -> pa.Table:
         keep = batch[batch["doc_id"].isin(ray.get(ids_ref))]
         return payload_fn(keep)
 
-    payload_df = docs.select_columns(columns).map_batches(
+    return docs.select_columns(columns).map_batches(
         fil, batch_format="pandas"
     ).to_pandas()
-    return {"df": payload_df, "n_candidates": len(cand_ids)}
+
+
+def _joined_pair_payload(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    cand_ids: rd.Dataset,
+    payload_fn,
+    columns,
+    payload_cols,
+) -> rd.Dataset:
+    """Too-big-to-broadcast verify path: attach each pair's two payloads via
+    hash-partitioned joins — the driver never holds candidates.
+
+    1. docs ⋈ cand_ids on doc_id (inner) prunes the corpus stream to
+       candidate docs; ``payload_fn`` runs distributed over them.
+    2. pairs ⋈ payload on doc_a, then on doc_b (columns suffixed _a/_b).
+
+    Three bounded exchanges total; every stage streams."""
+    from .relational import hash_join
+
+    cand_docs = hash_join(docs.select_columns(columns), cand_ids,
+                          on=["doc_id"])
+    payload = cand_docs.map_batches(
+        lambda b: payload_fn(b), batch_format="pandas"
+    ).materialize()  # O(candidates); reused by both joins
+
+    side_a = payload.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_a"] + [f"{c}_a" for c in payload_cols]),
+        batch_format="pyarrow",
+    )
+    side_b = payload.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_b"] + [f"{c}_b" for c in payload_cols]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pairs, side_a, on=["doc_a"])
+    return hash_join(joined, side_b, on=["doc_b"])
 
 
 
@@ -221,6 +278,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    payload_broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, exact word-shingle Jaccard >=
     threshold).
@@ -234,10 +292,12 @@ def minhash_near_dup_pairs(
          pairs whose estimated similarity is far below threshold, then
          exact Jaccard confirms — zero false positives.
 
-    Texts/signatures for step 4 come from a broadcast of the CANDIDATE docs
-    only (``_candidate_payload``): the corpus itself is never materialized,
-    and signatures are computed once, distributed, for just the docs that
-    appear in a candidate pair.
+    Verify payloads (signature + text per CANDIDATE doc, never the corpus)
+    are computed distributed and auto-routed by candidate count: a small set
+    broadcasts to the verify map; a large one is attached to the pairs with
+    hash-partitioned joins (pairs ⋈ payload on doc_a then doc_b) and
+    verified inside join partitions — the driver never materializes
+    candidate texts (both routes produce identical pair sets, tested equal).
     """
     import ray
 
@@ -263,26 +323,63 @@ def minhash_near_dup_pairs(
         "band_key", "doc_id",
     ).materialize()
 
+    screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
+
     # Candidate-only payload (signatures + texts), computed distributed.
+    # Signatures travel as fixed-width BINARY (num_perm x 8 bytes): arrow's
+    # hash join rejects list-typed payload columns, and bytes are the
+    # compact wire format anyway.
     def payload_fn(keep: pd.DataFrame) -> pa.Table:
-        sigs = [hasher.signature(word_shingles(t.split(), shingle_k)).tolist()
+        sigs = [hasher.signature(word_shingles(t.split(), shingle_k)).tobytes()
                 for t in keep["text"]]
         return pa.table({
             "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
             "text": pa.array(keep["text"].tolist(), pa.string()),
-            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            "sig": pa.array(sigs, pa.binary()),
         })
 
-    payload = _candidate_payload(docs, pairs, payload_fn, ["doc_id", "text"])
-    pdf = payload["df"]
-    sig_matrix = (np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
+    cand_ids = _distinct_candidate_ids(pairs).materialize()
+    if cand_ids.count() > payload_broadcast_limit:
+        joined = _joined_pair_payload(
+            docs, pairs, cand_ids, payload_fn,
+            ["doc_id", "text"], ["text", "sig"],
+        )
+
+        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                     "doc_b": pd.Series(dtype="int64"),
+                                     "jaccard": pd.Series(dtype="float64")})
+            sa = np.stack([np.frombuffer(s, np.uint64) for s in batch["sig_a"]])
+            sb = np.stack([np.frombuffer(s, np.uint64) for s in batch["sig_b"]])
+            est = (sa == sb).mean(axis=1)
+            a_out, b_out, j_out = [], [], []
+            for a, b, ta, tb, e in zip(batch["doc_a"], batch["doc_b"],
+                                       batch["text_a"], batch["text_b"], est):
+                if e < screen:
+                    continue
+                jac = jaccard(_word_shingles_cached(ta, shingle_k),
+                              _word_shingles_cached(tb, shingle_k))
+                if jac >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(round(jac, 6))
+            return pd.DataFrame({"doc_a": np.asarray(a_out, np.int64),
+                                 "doc_b": np.asarray(b_out, np.int64),
+                                 "jaccard": np.asarray(j_out, np.float64)})
+
+        return joined.map_batches(verify_joined, batch_format="pandas")
+
+    pdf = _broadcast_candidate_payload(
+        docs, _ids_set(cand_ids), payload_fn, ["doc_id", "text"],
+    )
+    sig_matrix = (np.stack([np.frombuffer(b, np.uint64) for b in pdf["sig"]])
                   if len(pdf) else np.empty((0, num_perm), dtype=np.uint64))
     payload_ref = ray.put({
         "texts": dict(zip(pdf["doc_id"], pdf["text"])),
         "sig_index": dict(zip(pdf["doc_id"], range(len(pdf)))),
         "sigs": sig_matrix,
     })
-    screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         payload = ray.get(payload_ref)
@@ -311,13 +408,31 @@ def minhash_near_dup_pairs(
     return pairs.map_batches(verify, batch_format="pandas")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count):
+    view each word as 8 bytes, unpack to bits, sum."""
+    if not len(x):
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(
+        np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(-1, 8),
+        axis=1,
+    ).sum(axis=1).astype(np.int64)
+
+
 def simhash_near_dup_pairs(
-    docs: rd.Dataset, max_hamming: int = 8
+    docs: rd.Dataset,
+    max_hamming: int = 8,
+    payload_broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
 ) -> rd.Dataset:
     """SimHash near-dup: bucket by each of four 16-bit signature quarters
-    (a pair within Hamming distance <= 16/4*? — standard block trick: any
-    pair with <= 3 differing quarters collides in >= 1 quarter), verify
-    Hamming distance inside buckets."""
+    (the standard block trick: any pair with <= 3 differing quarters
+    collides in >= 1 quarter — exact for max_hamming <= 3, recall < 1 above
+    that, which the SQL oracle mirrors), verify Hamming distance on the
+    candidate pairs.
+
+    Signature payloads auto-route like minhash: broadcast below
+    ``payload_broadcast_limit`` candidates, hash-partitioned pairs ⋈
+    signatures joins above it (identical pair sets, tested equal)."""
 
     import ray
 
@@ -343,7 +458,7 @@ def simhash_near_dup_pairs(
     ).materialize()
 
     # Candidate-only signature payload (16 bytes per candidate — the corpus
-    # text never reaches the driver).
+    # text never reaches the driver on either route).
     def payload_fn(keep: pd.DataFrame) -> pa.Table:
         return pa.table({
             "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
@@ -351,7 +466,32 @@ def simhash_near_dup_pairs(
                             pa.uint64()),
         })
 
-    pdf = _candidate_payload(docs, pairs, payload_fn, ["doc_id", "text"])["df"]
+    cand_ids = _distinct_candidate_ids(pairs).materialize()
+    if cand_ids.count() > payload_broadcast_limit:
+        joined = _joined_pair_payload(
+            docs, pairs, cand_ids, payload_fn, ["doc_id", "text"], ["sig"],
+        )
+
+        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                     "doc_b": pd.Series(dtype="int64"),
+                                     "hamming": pd.Series(dtype="int64")})
+            sa = batch["sig_a"].to_numpy(dtype=np.uint64)
+            sb = batch["sig_b"].to_numpy(dtype=np.uint64)
+            h = _popcount64(np.bitwise_xor(sa, sb))
+            keep = h <= max_hamming
+            return pd.DataFrame({
+                "doc_a": batch["doc_a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": batch["doc_b"].to_numpy(dtype=np.int64)[keep],
+                "hamming": h[keep],
+            })
+
+        return joined.map_batches(verify_joined, batch_format="pandas")
+
+    pdf = _broadcast_candidate_payload(
+        docs, _ids_set(cand_ids), payload_fn, ["doc_id", "text"],
+    )
     sig_ref = ray.put({int(d): int(s) for d, s in zip(pdf["doc_id"], pdf["sig"])})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

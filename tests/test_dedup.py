@@ -88,7 +88,11 @@ def test_candidate_payload_fetches_candidates_only(ray_session):
     docs only — the corpus itself must never reach the driver."""
     import ray.data as rd
 
-    from ontonotes_5_parsing_ray.stages.dedup import _candidate_payload
+    from ontonotes_5_parsing_ray.stages.dedup import (
+        _broadcast_candidate_payload,
+        _distinct_candidate_ids,
+        _ids_set,
+    )
 
     n = 2000
     ds = rd.from_arrow(pa.table({
@@ -100,14 +104,71 @@ def test_candidate_payload_fetches_candidates_only(ray_session):
         "doc_a": pa.array([5], pa.int64()),
         "doc_b": pa.array([17], pa.int64()),
     }))
-    payload = _candidate_payload(
-        ds, pairs,
+    cand = _ids_set(_distinct_candidate_ids(pairs))
+    assert cand == {5, 17}
+    pdf = _broadcast_candidate_payload(
+        ds, cand,
         lambda keep: pa.table(
             {"doc_id": pa.array(keep["doc_id"].tolist(), pa.int64())}),
         ["doc_id", "text"],
     )
-    assert payload["n_candidates"] == 2
-    assert sorted(payload["df"]["doc_id"]) == [5, 17]
+    assert sorted(pdf["doc_id"]) == [5, 17]
+
+
+def _near_dup_corpus(n=400, seed=9):
+    """A corpus dense in near-dups so the candidate set is large relative to
+    a tiny routing limit: clusters of paraphrased docs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(n):
+        cluster = i % 40
+        words = [f"topic{cluster}", "report", "covers", "subject",
+                 f"area{cluster}", "with", "details", "and", "figures",
+                 f"filler{rng.randint(0, 3)}"]
+        texts.append(" ".join(words))
+    return texts
+
+
+def test_minhash_join_path_equals_broadcast(ray_session):
+    """payload_broadcast_limit=0 forces the hash-partitioned join verify;
+    the pair set must equal the broadcast path's exactly."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    texts = _near_dup_corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    via_bcast = minhash_near_dup_pairs(ds, threshold=0.6).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    via_join = minhash_near_dup_pairs(
+        ds, threshold=0.6, payload_broadcast_limit=0
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(via_bcast) > 50  # the corpus really is near-dup-heavy
+    pd.testing.assert_frame_equal(via_bcast, via_join)
+
+
+def test_simhash_join_path_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import simhash_near_dup_pairs
+
+    texts = _near_dup_corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    via_bcast = simhash_near_dup_pairs(ds, max_hamming=8).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    via_join = simhash_near_dup_pairs(
+        ds, max_hamming=8, payload_broadcast_limit=0
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(via_bcast) > 50
+    pd.testing.assert_frame_equal(via_bcast, via_join)
 
 
 def test_minhash_on_corpus_larger_than_payload(ray_session):
