@@ -349,17 +349,85 @@ def canonicalize_triples_join(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _mentions_with_canonical_broadcast(
+    mentions: rd.Dataset, canon_ref: "ray.ObjectRef"
+) -> rd.Dataset:
+    """Non-pronoun mentions + ``canonical_surface`` via the broadcast map."""
+
+    def add_canonical(batch: pa.Table) -> pa.Table:
+        canon: Dict[str, str] = ray.get(canon_ref)
+        t = batch.filter(pc.invert(batch.column("is_pronoun")))
+        t = t.select(["conv_id", "turn_idx", "surface", "entity_type",
+                      "ts", "lang"])
+        canonical = [canon.get(normalize_surface(s), normalize_surface(s))
+                     for s in t.column("surface").to_pylist()]
+        return t.append_column(
+            "canonical_surface", pa.array(canonical, pa.string()))
+
+    return mentions.map_batches(add_canonical, batch_format="pyarrow")
+
+
+def _mentions_with_canonical_join(
+    mentions: rd.Dataset, canon_map: rd.Dataset,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """The too-big-to-broadcast twin: resolve ``canonical_surface`` with a
+    hash-partitioned LEFT join on the normalized surface (missing norms keep
+    themselves — the broadcast dict's ``.get`` default)."""
+    from ..stages.relational import hash_join
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch.column("is_pronoun")))
+        t = t.select(["conv_id", "turn_idx", "surface", "entity_type",
+                      "ts", "lang"])
+        norms = [normalize_surface(s) for s in t.column("surface").to_pylist()]
+        return t.append_column("norm", pa.array(norms, pa.string()))
+
+    joined = hash_join(
+        mentions.map_batches(add_norm, batch_format="pyarrow"),
+        canon_map, on=["norm"], join_type="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        canonical = [
+            c if c is not None else n
+            for c, n in zip(batch.column("canon").to_pylist(),
+                            batch.column("norm").to_pylist())
+        ]
+        return batch.drop_columns(["norm", "canon"]).append_column(
+            "canonical_surface", pa.array(canonical, pa.string()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
     """Node table via partial aggregation: per-batch partials keyed by
     canonical surface, then one small groupby-combine (pre-aggregate before
     the shuffle, SURVEY.md 'push aggregation partial')."""
-    import pyarrow.compute as pc
+    return _nodes_from_canonical(
+        _mentions_with_canonical_broadcast(mentions, canon_ref))
+
+
+def build_nodes_join(
+    mentions: rd.Dataset, canon_map: rd.Dataset,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Join-route node table (canon map stays a Dataset; same output as
+    :func:`build_nodes`, tested equal)."""
+    return _nodes_from_canonical(
+        _mentions_with_canonical_join(mentions, canon_map, num_partitions))
+
+
+def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
+    """Shared tail of the node build: per-batch partials over batches that
+    already carry ``canonical_surface``, then the hash-bucketed combine."""
 
     def partials(batch: pa.Table) -> pd.DataFrame:
-        canon: Dict[str, str] = ray.get(canon_ref)
-        t = batch.filter(pc.invert(batch.column("is_pronoun")))
-        df = t.select(["conv_id", "turn_idx", "surface", "entity_type",
-                       "ts", "lang"]).to_pandas()
+        df = batch.select(
+            ["canonical_surface", "conv_id", "turn_idx", "surface",
+             "entity_type", "ts", "lang"]
+        ).to_pandas()
         if not len(df):
             # dtype-stable empty frame: schemaless empty blocks confuse the
             # streaming executor's schema unification
@@ -373,10 +441,6 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
                 "first_seen_ts": pd.Series(dtype="int64"),
                 "lang": pd.Series(dtype=object),
             })
-        df["canonical_surface"] = [
-            canon.get(normalize_surface(s), normalize_surface(s))
-            for s in df["surface"]
-        ]
         grp = df.groupby(
             ["canonical_surface", "surface", "entity_type"], sort=True
         ).agg(
@@ -440,7 +504,7 @@ def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
         return pa.Table.from_pandas(batch, preserve_index=False)
 
     return (
-        mentions.map_batches(partials, batch_format="pyarrow")
+        mentions_canonical.map_batches(partials, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pandas")
         .groupby("part")
         .map_groups(combine_partition, batch_format="pandas")
@@ -493,13 +557,23 @@ def run_kg_pipeline(
     concurrency: Optional[int] = None,
     salted_bucket_size: Optional[int] = None,
     canon_driver_limit: Optional[int] = None,
+    canon_broadcast_limit: Optional[int] = None,
 ) -> Dict[str, rd.Dataset]:
     """Build the KG in memory; returns the component Datasets.
 
     The linked union table is materialized once (it is O(mentions+triples),
     far smaller than the input) so mentions/triples/canon all derive from it
     without re-running annotation.
+
+    Canon application auto-routes on map size: at or below
+    ``canon_broadcast_limit`` (default ``canonicalize.BROADCAST_LIMIT``) the
+    map broadcasts as a dict; above it the already-tested hash-partitioned
+    join twins (:func:`canonicalize_triples_join`, :func:`build_nodes_join`)
+    take over — the pipeline never fail-stops on map size and the driver
+    never holds an over-limit map.
     """
+    from ..stages.canonicalize import BROADCAST_LIMIT
+
     ds = read_transcripts(transcript_path)
     annotated = annotate(ds, concurrency=concurrency, emit="link")
     if salted_bucket_size:
@@ -512,11 +586,16 @@ def run_kg_pipeline(
     canon_map = build_canon_map(
         surfaces_for_canon(mentions, triples), threshold=canon_threshold,
         **canon_kwargs,
-    )
-    canon_dict = canon_map_to_dict(canon_map)
-    canon_ref = ray.put(canon_dict)
-    canon_triples = canonicalize_triples(triples, canon_ref)
-    nodes = build_nodes(mentions, canon_ref)
+    ).materialize()
+    limit = (BROADCAST_LIMIT if canon_broadcast_limit is None
+             else canon_broadcast_limit)
+    if canon_map.count() <= limit:
+        canon_ref = ray.put(canon_map_to_dict(canon_map, limit=limit))
+        canon_triples = canonicalize_triples(triples, canon_ref)
+        nodes = build_nodes(mentions, canon_ref)
+    else:
+        canon_triples = canonicalize_triples_join(triples, canon_map)
+        nodes = build_nodes_join(mentions, canon_map)
     edges = build_edges(canon_triples)
     errors = linked.map_batches(
         lambda t: t.filter(pc.equal(t.column("row_kind"), "error")).select(

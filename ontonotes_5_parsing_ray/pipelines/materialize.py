@@ -93,6 +93,7 @@ def materialize_kg(
     concurrency: Optional[int] = None,
     salted_bucket_size: Optional[int] = None,
     resume: bool = True,
+    canon_broadcast_limit: Optional[int] = None,
 ) -> Dict[str, str]:
     """Run the KG pipeline to durable, partitioned, resumable Parquet.
 
@@ -213,12 +214,25 @@ def materialize_kg(
         os.replace(tmp, canon_dir)
         write_lineage(canon_parent, 0, "canonmap",
                       rd.read_parquet(canon_dir).count())
-    canon_df = rd.read_parquet(canon_dir).to_pandas()
-    canon_dict = dict(zip(canon_df["norm"], canon_df["canon"]))
-    canon_ref = ray.put(canon_dict)
-
     # ---- stage 3: graph tables (stage-resumable each) --------------------
+    # Canon application auto-routes on map size (same policy as
+    # run_kg_pipeline): broadcast dict at or below the limit, hash-
+    # partitioned join twins above it — a vocabulary too big for the driver
+    # never touches it.
+    from ..stages.canonicalize import BROADCAST_LIMIT
+    from .kg import build_nodes_join, canonicalize_triples_join
+
+    canon_ds = rd.read_parquet(canon_dir).materialize()
+    limit = (BROADCAST_LIMIT if canon_broadcast_limit is None
+             else canon_broadcast_limit)
     mentions, triples = split_linked(linked_all)
+    if canon_ds.count() <= limit:
+        canon_ref = ray.put(canon_map_to_dict(canon_ds, limit=limit))
+        canon_triples = lambda: canonicalize_triples(triples, canon_ref)
+        nodes_builder = lambda: build_nodes(mentions, canon_ref)
+    else:
+        canon_triples = lambda: canonicalize_triples_join(triples, canon_ds)
+        nodes_builder = lambda: build_nodes_join(mentions, canon_ds)
     errors = linked_all.map_batches(
         lambda t: t.filter(pc.equal(t.column("row_kind"), "error")).select(
             ["conv_id", "turn_idx", "error"]
@@ -227,9 +241,9 @@ def materialize_kg(
     )
     builders = {
         "mentions": lambda: mentions,
-        "triples": lambda: canonicalize_triples(triples, canon_ref),
-        "nodes": lambda: build_nodes(mentions, canon_ref),
-        "edges": lambda: build_edges(canonicalize_triples(triples, canon_ref)),
+        "triples": canon_triples,
+        "nodes": nodes_builder,
+        "edges": lambda: build_edges(canon_triples()),
         "errors": lambda: errors,
     }
     out: Dict[str, str] = {"linked": linked_dir, "canonmap": canon_dir}

@@ -374,12 +374,18 @@ def build_canon_map(
     )
 
 
-def canon_map_to_dict(canon_map: rd.Dataset) -> Dict[str, str]:
-    """Materialize the canon map to a broadcastable dict (small-side path)."""
+def canon_map_to_dict(
+    canon_map: rd.Dataset, limit: int = BROADCAST_LIMIT
+) -> Dict[str, str]:
+    """Materialize the canon map to a broadcastable dict (small-side path).
+
+    Fail-stops above ``limit`` for direct callers; the pipelines
+    (``run_kg_pipeline``, ``materialize_kg``) check the count themselves and
+    auto-route to the hash-partitioned join twins instead of calling this."""
     n = canon_map.count()
-    if n > BROADCAST_LIMIT:
+    if n > limit:
         raise ValueError(
-            f"canon map has {n} entries > BROADCAST_LIMIT={BROADCAST_LIMIT}; "
+            f"canon map has {n} entries > broadcast limit {limit}; "
             "use the hash-partitioned join path"
         )
     df = canon_map.to_pandas()  # columnar; bounded by the guard above

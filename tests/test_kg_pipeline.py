@@ -143,3 +143,55 @@ def test_full_pipeline_with_distributed_canon_path(ray_session, tiny_transcripts
     d_nodes = dist["nodes"].to_pandas()
     assert (set(zip(f_nodes["canonical_id"], f_nodes["n_mentions"]))
             == set(zip(d_nodes["canonical_id"], d_nodes["n_mentions"])))
+
+
+def test_full_pipeline_auto_routes_join_canon_apply(ray_session, kg_result,
+                                                    tiny_transcripts):
+    """canon_broadcast_limit=0 forces the join-route canon APPLICATION
+    through the full pipeline (triples AND nodes AND edges) — the output
+    must equal the broadcast route's exactly."""
+    import pandas as pd
+
+    from ontonotes_5_parsing_ray.pipelines.kg import run_kg_pipeline
+
+    joined = run_kg_pipeline(tiny_transcripts, concurrency=2,
+                             canon_broadcast_limit=0)
+    for name, key in (
+        ("triples", ["conv_id", "turn_idx", "pred", "subj", "obj"]),
+        ("nodes", ["canonical_id"]),
+        ("edges", ["subj_id", "pred", "obj_id"]),
+    ):
+        b = kg_result[name]
+        j = joined[name].to_pandas()
+        cols = sorted(b.columns)
+        assert sorted(j.columns) == cols, name
+        pd.testing.assert_frame_equal(
+            b[cols].sort_values(key).reset_index(drop=True),
+            j[cols].sort_values(key).reset_index(drop=True),
+        )
+
+
+def test_materialize_auto_routes_join_canon_apply(ray_session,
+                                                  tiny_transcripts, tmp_path):
+    """materialize_kg with canon_broadcast_limit=0 (join route) writes the
+    same graph tables as the default broadcast route."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
+
+    out_b = materialize_kg(tiny_transcripts, str(tmp_path / "bcast"),
+                           num_partitions=2, concurrency=2)
+    out_j = materialize_kg(tiny_transcripts, str(tmp_path / "join"),
+                           num_partitions=2, concurrency=2,
+                           canon_broadcast_limit=0)
+    for name, key in (("triples", ["conv_id", "turn_idx", "pred", "subj", "obj"]),
+                      ("nodes", ["canonical_id"]),
+                      ("edges", ["subj_id", "pred", "obj_id"])):
+        b = rd.read_parquet(out_b[name]).to_pandas()
+        j = rd.read_parquet(out_j[name]).to_pandas()
+        cols = sorted(b.columns)
+        pd.testing.assert_frame_equal(
+            b[cols].sort_values(key).reset_index(drop=True),
+            j[cols].sort_values(key).reset_index(drop=True),
+        )
