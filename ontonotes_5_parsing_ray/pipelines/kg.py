@@ -144,9 +144,17 @@ def link(annotated: rd.Dataset, num_partitions: int = LINK_PARTITIONS) -> rd.Dat
     )
 
 
+# Resolution-row count above which phase C of the salted linker switches
+# from the broadcast-dict fast path to the co-partitioned groupby route
+# (resolutions are O(entity vocabulary + leading pronouns) — tiny relative
+# to mentions, but unbounded in principle).
+RESOLUTION_BROADCAST_LIMIT = 2_000_000
+
+
 def link_salted(
     annotated: rd.Dataset,
     bucket_size: int = 512,
+    resolution_broadcast_limit: int = RESOLUTION_BROADCAST_LIMIT,
 ) -> rd.Dataset:
     """Skew-safe linking: the salted-key two-phase variant (north_rule).
 
@@ -154,13 +162,16 @@ def link_salted(
     so no group ever exceeds ``bucket_size`` turns — a 10^7-turn conversation
     becomes 20k bounded groups instead of one giant one. Phase B reduces the
     per-bucket *summaries only* (tiny) per conv_id. Phase C applies the
-    resolutions with a broadcast map. Output is identical to :func:`link`
-    (asserted by tests on skewed data).
+    resolutions. Output is identical to :func:`link` (asserted by tests on
+    skewed data).
 
-    The resolution tables are O(entity vocabulary + leading pronouns), far
-    smaller than mentions; they are broadcast via ``ray.put``. At a scale
-    where even those exceed worker heap, phase C becomes a hash-partitioned
-    join on (conv_id) — same semantics, one more shuffle.
+    Phase C auto-routes on resolution count: at or below
+    ``resolution_broadcast_limit`` the resolutions become driver dicts
+    broadcast via ``ray.put`` (fast path); above it nothing touches the
+    driver — bulk rows and resolution rows are CO-PARTITIONED by
+    ``hash(conv_id) % P`` in one groupby and the identical finalize kernel
+    runs per partition with partition-local dicts (one more bounded
+    exchange, same semantics, tested equal).
     """
     import pyarrow.compute as pc
 
@@ -200,30 +211,74 @@ def link_salted(
              for c in s.column("conv_id").to_pylist()], pa.int32()))
 
     summaries = bulk.map_batches(summary_rows, batch_format="pyarrow")
-    resolutions = summaries.groupby("rpart").map_groups(
+    resolutions_ds = summaries.groupby("rpart").map_groups(
         lambda g: resolve_conv_partition(g.drop(columns=["rpart"])),
         batch_format="pandas",
-    ).to_pandas()
+    ).materialize()
 
-    chain_maps: Dict[str, Dict[str, int]] = {}
-    pendings: Dict[tuple, Optional[dict]] = {}
-    for row in resolutions.itertuples(index=False):
-        if row.kind == "chain":
-            chain_maps.setdefault(row.conv_id, {})[row.key] = int(row.chain_id)
-        elif row.kind == "pending":
-            pendings[(row.conv_id, row.key)] = (
-                {"surface": row.surface, "norm": row.norm,
-                 "entity_type": row.entity_type}
-                if row.surface else None
-            )
-    chains_ref = ray.put(chain_maps)
-    pendings_ref = ray.put(pendings)
+    if resolutions_ds.count() <= resolution_broadcast_limit:
+        from ..stages.link import resolution_dicts
 
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["row_kind"] != "summary"]
-        return finalize_bulk_rows(batch, ray.get(chains_ref), ray.get(pendings_ref))
+        chain_maps, pendings = resolution_dicts(resolutions_ds.to_pandas())
+        chains_ref = ray.put(chain_maps)
+        pendings_ref = ray.put(pendings)
 
-    return bulk.map_batches(finalize, batch_format="pandas")
+        def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["row_kind"] != "summary"]
+            return finalize_bulk_rows(
+                batch, ray.get(chains_ref), ray.get(pendings_ref))
+
+        return bulk.map_batches(finalize, batch_format="pandas")
+
+    # Co-partitioned phase C: align both streams on one superset schema
+    # (resolution rows ride as row_kind='resolution'), hash(conv) % P, one
+    # grouping pass applies the shared finalize kernel per partition.
+    from ..stages.link import (
+        BULK_COLUMNS,
+        _BULK_EMPTY,
+        finalize_partition_group,
+    )
+
+    EXTRA = ["kind", "key", "chain_id"]
+
+    def bulk_superset(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("row_kind"), "summary")))
+        n = len(t)
+        t = (t.append_column("kind", pa.array([""] * n, pa.string()))
+              .append_column("key", pa.array([""] * n, pa.string()))
+              .append_column("chain_id", pa.array([-1] * n, pa.int64())))
+        part = pa.array(
+            [partition_of(c, LINK_PARTITIONS)
+             for c in t.column("conv_id").to_pylist()], pa.int32())
+        return t.select(BULK_COLUMNS + EXTRA).append_column("part", part)
+
+    def res_superset(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        data = {}
+        for c in BULK_COLUMNS:
+            if c == "row_kind":
+                data[c] = ["resolution"] * n
+            elif c in ("conv_id", "surface", "norm", "entity_type"):
+                data[c] = batch[c].to_numpy()
+            elif c == "bucket":
+                data[c] = [-1] * n
+            else:
+                data[c] = [_BULK_EMPTY[c]] * n
+        df = pd.DataFrame(data, columns=BULK_COLUMNS)
+        df["kind"] = batch["kind"].to_numpy()
+        df["key"] = batch["key"].to_numpy()
+        df["chain_id"] = batch["chain_id"].astype("int64").to_numpy()
+        df["part"] = [partition_of(c, LINK_PARTITIONS)
+                      for c in df["conv_id"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = bulk.map_batches(bulk_superset, batch_format="pyarrow").union(
+        resolutions_ds.map_batches(res_superset, batch_format="pandas")
+    )
+    return merged.groupby("part").map_groups(
+        lambda g: finalize_partition_group(g.drop(columns=["part"])),
+        batch_format="pandas",
+    )
 
 
 def split_linked(linked: rd.Dataset):

@@ -280,6 +280,34 @@ def _union_section(n: int, **cols) -> pd.DataFrame:
     return pd.DataFrame(data, columns=UNION_COLUMNS)
 
 
+def resolution_dicts(res: pd.DataFrame):
+    """(chain_maps, pendings) driver/partition dicts from resolution rows
+    (the ``resolve_conv_*`` output schema); ``noop`` rows are ignored."""
+    chain_maps: dict = {}
+    pendings: dict = {}
+    for row in res.itertuples(index=False):
+        if row.kind == "chain":
+            chain_maps.setdefault(row.conv_id, {})[row.key] = int(row.chain_id)
+        elif row.kind == "pending":
+            pendings[(row.conv_id, row.key)] = (
+                {"surface": row.surface, "norm": row.norm,
+                 "entity_type": row.entity_type}
+                if row.surface else None
+            )
+    return chain_maps, pendings
+
+
+def finalize_partition_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Phase C without a driver dict: ONE hash(conv) partition containing
+    both bulk rows and that partition's resolution rows (co-partitioned by
+    the same key, ``row_kind == 'resolution'`` discriminates). Builds the
+    partition-local dicts and applies the same :func:`finalize_bulk_rows`
+    kernel as the broadcast path — identical output, tested equal."""
+    is_res = group["row_kind"] == "resolution"
+    chain_maps, pendings = resolution_dicts(group[is_res])
+    return finalize_bulk_rows(group[~is_res], chain_maps, pendings)
+
+
 def finalize_bulk_rows(
     batch: pd.DataFrame, chain_maps: dict, pendings: dict
 ) -> pd.DataFrame:

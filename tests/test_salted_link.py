@@ -73,3 +73,42 @@ def test_salted_pipeline_end_to_end_matches_oracle(ray_session, skewed_transcrip
         triple_set(out["triples"].to_pandas()), triple_set(golden["triples"])
     )
     assert p == 1.0 and r == 1.0, (p, r)
+
+
+def test_salted_copartition_phase_c_equals_broadcast(ray_session,
+                                                     skewed_transcripts):
+    """resolution_broadcast_limit=0 forces the co-partitioned phase C (no
+    driver dicts); output must equal both the broadcast salted route and
+    plain linking."""
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        annotate,
+        link_salted,
+        read_transcripts,
+        split_linked,
+    )
+
+    annotated = annotate(
+        read_transcripts(skewed_transcripts), concurrency=2, emit="link"
+    ).materialize()
+
+    bcast = link_salted(annotated, bucket_size=16).materialize()
+    copart = link_salted(annotated, bucket_size=16,
+                         resolution_broadcast_limit=0).materialize()
+
+    bm, bt = (x.to_pandas() for x in split_linked(bcast))
+    cm, ct = (x.to_pandas() for x in split_linked(copart))
+    pd.testing.assert_frame_equal(_sorted(bm), _sorted(cm))
+    pd.testing.assert_frame_equal(_sorted(bt), _sorted(ct))
+
+    # the error channel survives the co-partition route too
+    import pyarrow.compute as pc
+
+    berr = bcast.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "error")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cerr = copart.map_batches(
+        lambda t: t.filter(pc.equal(t.column("row_kind"), "error")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert len(berr) == len(cerr)
