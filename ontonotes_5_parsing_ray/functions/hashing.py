@@ -20,8 +20,38 @@ _MAX_HASH = (1 << 32) - 1
 
 def stable_hash64(s: str) -> int:
     """Deterministic 64-bit hash (Python's builtin hash() is salted per
-    process, which would break cross-worker determinism)."""
+    process, which would break cross-worker determinism). Per-call Python
+    cost: use for persisted identifiers and data-value derivation; for
+    partition assignment over whole columns use :func:`hash64_vec`."""
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def hash64_vec(values) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of a column (uint64 array).
+
+    C-speed siphash13 via ``pandas.util.hash_array`` with its FIXED default
+    key — identical across processes and workers (unlike builtin ``hash``).
+    Accepts numpy arrays, pandas Series, or any sequence; numeric dtypes are
+    hashed natively, everything else as strings/objects. NOT the same
+    function as :func:`stable_hash64` (blake2b): use it for partition
+    assignment and other within-pipeline keys on hot paths, never for
+    persisted identifiers (those keep blake2b so outputs are independent of
+    the partitioner).
+    """
+    import pandas as pd
+
+    arr = values.to_numpy() if hasattr(values, "to_numpy") else np.asarray(values)
+    if arr.size == 0:
+        return np.array([], dtype=np.uint64)
+    if arr.dtype.kind not in ("i", "u", "f", "b"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def partition_vec(values, num_buckets: int) -> np.ndarray:
+    """Vectorized ``hash64_vec(values) % num_buckets`` as int32 (the
+    partition-column builder for every hash-bucketed shuffle stage)."""
+    return (hash64_vec(values) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def char_shingles(s: str, k: int = 3) -> Set[str]:

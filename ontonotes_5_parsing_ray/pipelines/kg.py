@@ -128,14 +128,14 @@ def link(annotated: rd.Dataset, num_partitions: int = LINK_PARTITIONS) -> rd.Dat
     whole (coref locality) but the corpus forms ``P`` bounded groups, not
     one pandas group per conversation (billions at 100 TB). The per-conv
     kernel runs inside :func:`link_partition_group`."""
+    from ..functions.hashing import partition_vec
     from ..stages.link import link_partition_group
-    from ..state.checkpoint import partition_of
 
     turns = annotated.map_batches(_prov_columns, batch_format="pyarrow")
     with_part = turns.map_batches(
         lambda t: t.append_column("part", pa.array(
-            [partition_of(c, num_partitions)
-             for c in t.column("conv_id").to_pylist()], pa.int32())),
+            partition_vec(t.column("conv_id").to_numpy(zero_copy_only=False),
+                          num_partitions), pa.int32())),
         batch_format="pyarrow",
     )
     return with_part.groupby("part").map_groups(
@@ -177,17 +177,22 @@ def link_salted(
 
     from ..stages.link import finalize_bulk_rows, resolve_conv_group
 
+    import numpy as np
+
+    from ..functions.hashing import hash64_vec
     from ..stages.link import link_bucket_partition
-    from ..state.checkpoint import partition_of
 
     def add_bucket_part(t: pa.Table) -> pa.Table:
         bucket = pc.cast(pc.floor(pc.divide(
             pc.cast(t.column("turn_idx"), pa.float64()),
             float(bucket_size))), pa.int64())
-        part = pa.array(
-            [partition_of(f"{c}\x02{b}", LINK_PARTITIONS)
-             for c, b in zip(t.column("conv_id").to_pylist(), bucket.to_pylist())],
-            pa.int32())
+        # salted key = mix(hash(conv), bucket): vectorized, no per-row
+        # f-string/hash call; any deterministic mix spreads hot convs
+        conv_h = hash64_vec(t.column("conv_id").to_numpy(zero_copy_only=False))
+        b_np = bucket.to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = conv_h ^ (b_np * np.uint64(0x9E3779B97F4A7C15))
+        part = pa.array((mixed % np.uint64(LINK_PARTITIONS)).astype(np.int32),
+                        pa.int32())
         return t.append_column("bucket", bucket).append_column("part", part)
 
     turns = annotated.map_batches(
@@ -203,12 +208,14 @@ def link_salted(
 
     from ..stages.link import resolve_conv_partition
 
+    from ..functions.hashing import partition_vec
+
     def summary_rows(t: pa.Table) -> pa.Table:
         s = t.filter(pc.equal(t.column("row_kind"), "summary")).select(
             ["conv_id", "bucket", "summary_json"])
         return s.append_column("rpart", pa.array(
-            [partition_of(c, LINK_PARTITIONS)
-             for c in s.column("conv_id").to_pylist()], pa.int32()))
+            partition_vec(s.column("conv_id").to_numpy(zero_copy_only=False),
+                          LINK_PARTITIONS), pa.int32()))
 
     summaries = bulk.map_batches(summary_rows, batch_format="pyarrow")
     resolutions_ds = summaries.groupby("rpart").map_groups(
@@ -248,8 +255,8 @@ def link_salted(
               .append_column("key", pa.array([""] * n, pa.string()))
               .append_column("chain_id", pa.array([-1] * n, pa.int64())))
         part = pa.array(
-            [partition_of(c, LINK_PARTITIONS)
-             for c in t.column("conv_id").to_pylist()], pa.int32())
+            partition_vec(t.column("conv_id").to_numpy(zero_copy_only=False),
+                          LINK_PARTITIONS), pa.int32())
         return t.select(BULK_COLUMNS + EXTRA).append_column("part", part)
 
     def res_superset(batch: pd.DataFrame) -> pa.Table:
@@ -268,8 +275,7 @@ def link_salted(
         df["kind"] = batch["kind"].to_numpy()
         df["key"] = batch["key"].to_numpy()
         df["chain_id"] = batch["chain_id"].astype("int64").to_numpy()
-        df["part"] = [partition_of(c, LINK_PARTITIONS)
-                      for c in df["conv_id"]]
+        df["part"] = partition_vec(df["conv_id"], LINK_PARTITIONS)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     merged = bulk.map_batches(bulk_superset, batch_format="pyarrow").union(
@@ -551,11 +557,11 @@ def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
     NODE_PARTITIONS = 64
 
     def add_part(batch: pd.DataFrame) -> pa.Table:
-        from ..functions.hashing import stable_hash64
+        from ..functions.hashing import partition_vec
 
         batch = batch.copy()
-        batch["part"] = [stable_hash64(c) % NODE_PARTITIONS
-                         for c in batch["canonical_surface"]]
+        batch["part"] = partition_vec(batch["canonical_surface"],
+                                      NODE_PARTITIONS)
         return pa.Table.from_pandas(batch, preserve_index=False)
 
     return (

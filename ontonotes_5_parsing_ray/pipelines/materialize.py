@@ -62,9 +62,12 @@ GRAPH_TABLES = ("mentions", "triples", "nodes", "edges", "errors")
 
 
 def _add_partition_col(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    from ..functions.hashing import partition_vec
+
     def add(batch: pa.Table) -> pa.Table:
-        parts = [partition_of(c, num_partitions)
-                 for c in batch.column("conv_id").to_pylist()]
+        parts = partition_vec(
+            batch.column("conv_id").to_numpy(zero_copy_only=False),
+            num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -111,15 +114,22 @@ def materialize_kg(
     # The FULL lineage-relevant config is part of the checkpoint: resuming
     # with a different input, threshold or salting would silently mix stale
     # and fresh partitions (markers alone don't validate what they recorded).
+    from ..state.checkpoint import PARTITION_HASH
+
     config = {
         "num_partitions": num_partitions,
         "transcript_path": os.path.abspath(transcript_path),
         "canon_threshold": canon_threshold,
         "salted_bucket_size": salted_bucket_size,
+        "partition_hash": PARTITION_HASH,
     }
     if resume and os.path.isfile(config_path):
         with open(config_path) as fh:
             existing = _json.load(fh)
+        # A checkpoint with no recorded partition_hash predates the
+        # vectorized partitioner: its on-disk conv->partition mapping is
+        # incompatible, so it must NOT resume silently.
+        existing.setdefault("partition_hash", "blake2b-v0")
         # Compare only keys the stored config actually recorded: older
         # checkpoints (fewer lineage keys) still resume with identical
         # settings; a genuinely different setting still fail-stops.

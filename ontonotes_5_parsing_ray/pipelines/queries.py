@@ -319,13 +319,14 @@ def transcript_ordering(sf_dir: str) -> rd.Dataset:
     partition). Shuffles by hash(conv) % P so each conversation lands whole
     inside one of P bounded groups; ordering inside the partition is a
     single vectorized sort + per-conv cumcount (no per-conversation UDF)."""
-    from ..functions.hashing import stable_hash64
+    from ..functions.hashing import partition_vec
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     P = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [stable_hash64(s) % P for s in batch.column("source").to_pylist()]
+        parts = partition_vec(
+            batch.column("source").to_numpy(zero_copy_only=False), P)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     def order_partition(group: pd.DataFrame) -> pa.Table:

@@ -28,7 +28,7 @@ import ray.data as rd
 
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import partition_vec
 from ..functions.spans import insert_span
 from ..functions.tagdist import build_reduction_rules
 from .stats import tag_frequencies_by_kind
@@ -105,8 +105,9 @@ def rewrite_annotations(
     rules_ref = ray.put(rules)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [stable_hash64(c) % num_partitions
-                 for c in batch.column("conv_id").to_pylist()]
+        parts = partition_vec(
+            batch.column("conv_id").to_numpy(zero_copy_only=False),
+            num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     def rewrite_part(group: pd.DataFrame) -> pa.Table:

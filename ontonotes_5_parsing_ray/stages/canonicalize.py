@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -42,7 +43,13 @@ from ..functions.canon import (
     SHINGLE_K,
     verify_pair,
 )
-from ..functions.hashing import MinHasher, char_shingles, stable_hash64
+from ..functions.hashing import (
+    MinHasher,
+    char_shingles,
+    hash64_vec,
+    partition_vec,
+    stable_hash64,
+)
 
 # Broadcast-vs-shuffle switchover for applying the canon map. Tuned for a
 # 128 GiB-heap driver: ~50M short strings; beyond that, use the groupby join.
@@ -110,7 +117,7 @@ def _star_round(D: rd.Dataset, large: bool, num_partitions: int) -> rd.Dataset:
             xs, ys = a + b, b + a
         else:
             xs, ys = b, a  # center = larger endpoint
-        part = [stable_hash64(x) % num_partitions for x in xs]
+        part = partition_vec(np.asarray(xs, dtype=object), num_partitions)
         return pa.table({
             "x": pa.array(xs, pa.string()),
             "y": pa.array(ys, pa.string()),
@@ -120,7 +127,6 @@ def _star_round(D: rd.Dataset, large: bool, num_partitions: int) -> rd.Dataset:
     def star(group: pd.DataFrame) -> pa.Table:
         df = group[["x", "y"]].drop_duplicates()
         gmin = df.groupby("x", sort=False)["y"].transform("min")
-        import numpy as np
         if large:
             m = np.where(gmin < df["x"], gmin, df["x"])
             keep = (df["y"] > df["x"]).to_numpy()
@@ -161,13 +167,18 @@ def _star_components(D: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
         D = D2.groupby(["a", "b"]).aggregate(Count(alias_name="n")).map_batches(
             lambda t: t.select(["a", "b"]), batch_format="pyarrow"
         ).materialize()
-        sig = (D.count(), D.map_batches(
-            lambda t: pa.table({"h": pa.array(
-                [sum(stable_hash64(a + "\x01" + b) for a, b in
-                     zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
-                 % ((1 << 40) - 1)], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("h"))
+        def sig_batch(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            pairs_str = (pd.Series(t.column("a").to_pylist(), dtype=object)
+                         + "\x01"
+                         + pd.Series(t.column("b").to_pylist(), dtype=object))
+            h = int(hash64_vec(pairs_str).sum(dtype=np.uint64)
+                    % np.uint64((1 << 40) - 1))
+            return pa.table({"h": pa.array([h], pa.int64())})
+
+        sig = (D.count(), D.map_batches(sig_batch,
+                                        batch_format="pyarrow").sum("h"))
         if debug:
             print(f"[canon] star round {rnd}: {_time.time() - t0:.2f}s "
                   f"edges={sig[0]}", flush=True)
@@ -280,8 +291,9 @@ def build_canon_map(
     )
 
     def add_band_part(t: pa.Table) -> pa.Table:
-        parts = [stable_hash64(b) % STAR_PARTITIONS
-                 for b in t.column("band_key").to_pylist()]
+        parts = partition_vec(
+            t.column("band_key").to_numpy(zero_copy_only=False),
+            STAR_PARTITIONS)
         return t.append_column("part", pa.array(parts, pa.int32()))
 
     pairs = banded.map_batches(add_band_part, batch_format="pyarrow") \

@@ -34,7 +34,9 @@ from ..functions.hashing import (
     MinHasher,
     char_shingles,
     hamming64,
+    hash64_vec,
     jaccard,
+    partition_vec,
     simhash64,
     stable_hash64,
     word_shingles,
@@ -90,8 +92,8 @@ def _candidate_pairs(
     #         frame per partition, never one UDF call per bucket)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [stable_hash64(str(b)) % P
-                 for b in batch.column(bucket_col).to_pylist()]
+        parts = partition_vec(
+            batch.column(bucket_col).to_numpy(zero_copy_only=False), P)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     def candidates_partition(group: pd.DataFrame) -> pa.Table:
@@ -229,7 +231,10 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
         g = batch.groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size")
         ).reset_index()
-        g["text_hash"] = [stable_hash64(t) & ((1 << 62) - 1) for t in g["text"]]
+        # vectorized content hash (C-speed siphash); internal group key
+        # only — projected away before the result leaves the operator
+        g["text_hash"] = (hash64_vec(g["text"])
+                          & np.uint64((1 << 62) - 1)).astype("int64")
         return pa.Table.from_pandas(
             g[["text_hash", "text", "doc_id", "n"]], preserve_index=False
         )

@@ -328,17 +328,21 @@ def sessionize_events_salted(
     VECTORIZED pandas kernels (cumsum session breaks), never one UDF call
     per user or per session. Sums stay unrounded until after the merge.
     """
-    from ..functions.hashing import stable_hash64
+    import numpy as np
+
+    from ..functions.hashing import hash64_vec
 
     def phase_a_cols(batch: pd.DataFrame) -> pa.Table:
         b = batch[["event_id", "user_id", "value"]].copy()
         epoch = batch["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
         b["epoch"] = epoch
         b["tbucket"] = epoch // bucket_seconds
-        b["part"] = [
-            stable_hash64(f"{u}\x02{tb}") % num_partitions
-            for u, tb in zip(b["user_id"], b["tbucket"])
-        ]
+        # vectorized salted key: mix(hash(user), tbucket), no per-row
+        # f-string construction
+        mixed = (hash64_vec(b["user_id"])
+                 ^ (b["tbucket"].to_numpy().astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)))
+        b["part"] = (mixed % np.uint64(num_partitions)).astype(np.int32)
         return to_arrow(b)
 
     def sessionize_partition(group: pd.DataFrame) -> pa.Table:
@@ -365,9 +369,10 @@ def sessionize_events_salted(
     )
 
     def phase_b_cols(batch: pd.DataFrame) -> pa.Table:
+        from ..functions.hashing import partition_vec
+
         b = batch.copy()
-        b["part"] = [stable_hash64(str(u)) % num_partitions
-                     for u in b["user_id"]]
+        b["part"] = partition_vec(b["user_id"], num_partitions)
         return to_arrow(b)
 
     def merge_partition(group: pd.DataFrame) -> pa.Table:

@@ -12,10 +12,12 @@ the north_rule requires it. Model:
 * Resume = enumerate markers, skip finished partitions, re-run the rest
   (an anti-join of done markers vs the partition list).
 
-Partition key: ``bucket = stable_hash64(conv_id) % num_buckets`` — the SAME
-key the transcript generator shards by and the pipeline groups by, so one
-partitioning decision is reused across stages (SURVEY.md "pick ONE
-partitioning key").
+Partition key: ``bucket = hash64_vec(conv_id) % num_buckets`` — the same
+vectorized hash every shuffle-bucketing stage uses, so one partitioning
+decision is reused across stages (SURVEY.md "pick ONE partitioning key").
+The hash identity is recorded in the checkpoint ``_CONFIG``
+(``partition_hash``): a checkpoint written under a different partitioner
+must not resume (conversations would map to different buckets).
 """
 
 from __future__ import annotations
@@ -25,13 +27,23 @@ import os
 import time
 from typing import Dict, List, Optional
 
-from ..functions.hashing import stable_hash64
+import numpy as np
 
-ENGINE_VERSION = "0.1.0"
+from ..functions.hashing import hash64_vec
+
+ENGINE_VERSION = "0.2.0"
+
+# Identity of the partition hash; stored in materialized-checkpoint configs.
+# Bump whenever partition_of/hash64_vec change value semantics.
+PARTITION_HASH = "siphash13-v1"
 
 
 def partition_of(conv_id: str, num_buckets: int) -> int:
-    return stable_hash64(conv_id) % num_buckets
+    """Scalar twin of the vectorized partitioner (same values; per-call
+    convenience for tests and driver-side bookkeeping)."""
+    # int() BEFORE the modulo: numpy uint64 % python-int silently promotes
+    # to float64 and loses low bits
+    return int(hash64_vec(np.array([conv_id], dtype=object))[0]) % num_buckets
 
 
 def done_marker(out_dir: str, partition: int) -> str:

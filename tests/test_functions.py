@@ -133,3 +133,31 @@ def test_langid_heuristic():
     assert detect_language("你好世界这是一个测试") == "zh"
     assert detect_language("") == "und"
     assert detect_language("zzz qqq www") == "und"
+
+
+def test_vectorized_partition_hash_deterministic():
+    """partition_vec/hash64_vec: scalar twin agrees, values are frozen
+    (cross-process / cross-run determinism — a silent change would scramble
+    checkpoint partition layouts), int and str keys both supported."""
+    import numpy as np
+
+    from ontonotes_5_parsing_ray.functions.hashing import (
+        hash64_vec,
+        partition_vec,
+    )
+    from ontonotes_5_parsing_ray.state.checkpoint import partition_of
+
+    keys = ["conv-0", "conv-123", "user_7", "", "ünïcode-Ω"]
+    assert [int(h) for h in hash64_vec(keys)] == [
+        17192976686313659930, 2039707704132810116, 2863543129529096168,
+        1760245841805064774, 1342582833961847469,
+    ]
+    assert list(partition_vec(keys, 64)) == [26, 4, 40, 6, 45]
+    assert [partition_of(k, 64) for k in keys] == [26, 4, 40, 6, 45]
+    assert list(partition_vec([0, 1, 999999], 64)) == [0, 37, 21]
+    assert partition_vec([], 8).dtype == np.int32
+    assert len(hash64_vec([])) == 0
+    # pandas Series input (the common map_batches shape)
+    import pandas as pd
+
+    assert list(partition_vec(pd.Series(keys), 64)) == [26, 4, 40, 6, 45]

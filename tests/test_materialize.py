@@ -83,14 +83,25 @@ def test_resume_accepts_older_config_subset(ray_session, tiny_transcripts,
 
     from ontonotes_5_parsing_ray.pipelines.materialize import materialize_kg
 
+    from ontonotes_5_parsing_ray.state.checkpoint import PARTITION_HASH
+
     out_dir = str(tmp_path / "kg_old_cfg")
     materialize_kg(tiny_transcripts, out_dir, num_partitions=2, concurrency=2)
     cfg_path = os.path.join(out_dir, "_CONFIG")
     with open(cfg_path, "w") as fh:
-        json.dump({"num_partitions": 2}, fh)  # simulate a pre-round-2 config
+        # simulate an older config format: fewer keys, same partitioner
+        json.dump({"num_partitions": 2, "partition_hash": PARTITION_HASH}, fh)
     out = materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
                          concurrency=2)  # must not raise
     assert os.path.isdir(out["triples"])
+
+    # a checkpoint with NO recorded partition hash predates the vectorized
+    # partitioner: its conv->partition layout is incompatible -> refuse
+    with open(cfg_path, "w") as fh:
+        json.dump({"num_partitions": 2}, fh)
+    with pytest.raises(ValueError, match="partition_hash"):
+        materialize_kg(tiny_transcripts, out_dir, num_partitions=2,
+                       concurrency=2)
 
 
 def test_no_resume_rewrites_config(ray_session, tiny_transcripts, tmp_path):
