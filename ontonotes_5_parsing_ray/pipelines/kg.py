@@ -480,6 +480,12 @@ def build_nodes_join(
         _mentions_with_canonical_join(mentions, canon_map, num_partitions))
 
 
+# Per-node surface_forms list cap: top-N by mention count. A pronoun-like
+# surface slipping through canonicalization could otherwise accrete an
+# unbounded (multi-GB at 100x) JSON row.
+SURFACE_FORMS_CAP = 32
+
+
 def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
     """Shared tail of the node build: per-batch partials over batches that
     already carry ``canonical_surface``, then the hash-bucketed combine."""
@@ -537,13 +543,24 @@ def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
             ["canonical_surface", "first_conv_id", "first_turn_idx"],
             kind="mergesort",
         ).drop_duplicates("canonical_surface").set_index("canonical_surface")
-        surface_forms = df.groupby("canonical_surface", sort=True)["surface"] \
-            .agg(lambda s: json.dumps(sorted(set(s)), ensure_ascii=False))
+        # surface_forms is CAPPED at the top-N forms by mention count
+        # (ties lexicographic): one mega-entity must not grow a multi-GB
+        # row; n_surface_forms keeps the true distinct total
+        sc = df.groupby(["canonical_surface", "surface"], sort=False)["n"] \
+               .sum().reset_index()
+        sc = sc.sort_values(["canonical_surface", "n", "surface"],
+                            ascending=[True, False, True], kind="mergesort")
+        n_forms = sc.groupby("canonical_surface", sort=True)["surface"].size()
+        kept = sc.groupby("canonical_surface", sort=False) \
+                 .head(SURFACE_FORMS_CAP)
+        surface_forms = kept.groupby("canonical_surface", sort=True)["surface"] \
+            .agg(lambda s: json.dumps(list(s), ensure_ascii=False))
         n_mentions = df.groupby("canonical_surface", sort=True)["n"].sum()
         out = pd.DataFrame({
             "canonical_surface": n_mentions.index,
             "entity_type": best_type.reindex(n_mentions.index).to_numpy(),
             "surface_forms": surface_forms.reindex(n_mentions.index).to_numpy(),
+            "n_surface_forms": n_forms.reindex(n_mentions.index).to_numpy().astype("int64"),
             "n_mentions": n_mentions.to_numpy().astype("int64"),
             "first_conv_id": firsts["first_conv_id"].reindex(n_mentions.index).to_numpy(),
             "first_turn_idx": firsts["first_turn_idx"].reindex(n_mentions.index).to_numpy().astype("int64"),

@@ -72,6 +72,34 @@ def broadcast_semi_join(
     return left.map_batches(fil, batch_format="pandas")
 
 
+# One join bucket of the larger side should fit comfortably in a worker
+# heap alongside the build table: 256 MiB target per bucket.
+TARGET_JOIN_BUCKET_BYTES = 256 << 20
+MAX_AUTO_JOIN_PARTITIONS = 4096
+
+
+def _known_size_bytes(ds: rd.Dataset):
+    """Size estimate WITHOUT triggering execution: only what the logical
+    plan's metadata already knows (pure reads, materialized datasets).
+    ``Dataset.size_bytes()`` itself executes lazy plans — never call it on
+    an unexecuted pipeline just to pick a partition count."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def _auto_join_partitions(cpus: int, left_bytes, right_bytes) -> int:
+    """CPU-derived floor, raised by known input size so one bucket of the
+    larger side stays under ``TARGET_JOIN_BUCKET_BYTES``."""
+    floor = max(2, min(16, cpus // 4))
+    sizes = [s for s in (left_bytes, right_bytes) if s]
+    if not sizes:
+        return floor
+    by_size = -(-max(sizes) // TARGET_JOIN_BUCKET_BYTES)  # ceil-div
+    return max(floor, min(int(by_size), MAX_AUTO_JOIN_PARTITIONS))
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -85,20 +113,23 @@ def hash_join(
 
     This is the fact-to-fact path (orders ⋈ lineitem): neither side is ever
     driver-resident, the only data movement is the two key-partitioned
-    exchanges. Each partition is one aggregator actor: by default we size
-    conservatively from the local CPU count (measured: 8 partitions join
-    600k rows in ~3.5s where 32 partitions take 21s — actor startup
-    dominates small joins). At 100 TB pass ``num_partitions`` explicitly so
-    one bucket of the larger side fits a worker heap (thousands, not 8).
-    Skewed keys concentrate in one bucket — pre-aggregate or salt before
-    joining on a hot key.
+    exchanges. Each partition is one aggregator actor: small joins keep a
+    conservative CPU-derived floor (measured: 8 partitions join 600k rows in
+    ~3.5s where 32 partitions take 21s — actor startup dominates), but when
+    either side's size is KNOWN without triggering execution (parquet read
+    metadata / materialized upstream), the partition count scales up so one
+    bucket of the larger side stays under ``TARGET_JOIN_BUCKET_BYTES`` —
+    a 1 TB side auto-sizes to thousands of buckets instead of 16. Skewed
+    keys concentrate in one bucket — pre-aggregate or salt before joining
+    on a hot key.
     """
     if num_partitions is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        num_partitions = max(2, min(16, cpus // 4))
+        num_partitions = _auto_join_partitions(
+            cpus, _known_size_bytes(left), _known_size_bytes(right))
     return left.join(
         right,
         join_type=join_type,

@@ -195,3 +195,53 @@ def test_materialize_auto_routes_join_canon_apply(ray_session,
             b[cols].sort_values(key).reset_index(drop=True),
             j[cols].sort_values(key).reset_index(drop=True),
         )
+
+
+def test_surface_forms_capped_topn(ray_session):
+    """A node with more distinct surfaces than the cap keeps only the top-N
+    by count (ties lexicographic) in surface_forms, while n_surface_forms
+    reports the true distinct total."""
+    import json
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        SURFACE_FORMS_CAP,
+        build_nodes,
+    )
+
+    n_forms = SURFACE_FORMS_CAP + 8
+    rows = []
+    for i in range(n_forms):
+        # surface i appears (n_forms - i) times -> count-rank == index order
+        for rep in range(n_forms - i):
+            rows.append((f"c{rep}", rep, f"MegaCorp v{i:03d}", "ORG"))
+    mentions = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "start": pa.array([0] * len(rows), pa.int64()),
+        "end": pa.array([1] * len(rows), pa.int64()),
+        "surface": pa.array([r[2] for r in rows], pa.string()),
+        "entity_type": pa.array([r[3] for r in rows], pa.string()),
+        "is_pronoun": pa.array([False] * len(rows), pa.bool_()),
+        "chain_id": pa.array([0] * len(rows), pa.int64()),
+        "antecedent": pa.array([""] * len(rows), pa.string()),
+        "ts": pa.array([0] * len(rows), pa.int64()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    }))
+    # canon map folds every surface onto one canonical entity
+    from ontonotes_5_parsing_ray.functions.kgrules import normalize_surface
+
+    canon = {normalize_surface(f"MegaCorp v{i:03d}"): "megacorp"
+             for i in range(n_forms)}
+    nodes = build_nodes(mentions, ray.put(canon)).to_pandas()
+    assert len(nodes) == 1
+    node = nodes.iloc[0]
+    forms = json.loads(node["surface_forms"])
+    assert len(forms) == SURFACE_FORMS_CAP
+    assert int(node["n_surface_forms"]) == n_forms
+    # top-N by count: the most frequent surfaces (lowest i) survive
+    assert forms == [f"MegaCorp v{i:03d}" for i in range(SURFACE_FORMS_CAP)]
+    assert int(node["n_mentions"]) == sum(n_forms - i for i in range(n_forms))

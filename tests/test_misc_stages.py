@@ -302,3 +302,33 @@ def test_preagg_distributed_branch_equals_driver(ray_session):
     a = windowed_event_counts(ev, 3600).reset_index(drop=True)
     b = windowed_event_counts(ev, 3600, driver_limit=0).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_join_partitions_size_aware(ray_session):
+    """Join partition count: CPU floor for small/unknown inputs, scales with
+    known byte size (one bucket <= target), capped; explicit num_partitions
+    always wins. _known_size_bytes must not trigger execution."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        MAX_AUTO_JOIN_PARTITIONS,
+        TARGET_JOIN_BUCKET_BYTES,
+        _auto_join_partitions,
+        _known_size_bytes,
+    )
+
+    assert _auto_join_partitions(32, None, None) == 8     # floor only
+    assert _auto_join_partitions(4, None, None) == 2
+    one_tb = 1 << 40
+    assert _auto_join_partitions(32, one_tb, 1000) == one_tb // TARGET_JOIN_BUCKET_BYTES
+    assert _auto_join_partitions(32, 50 << 20, None) == 8  # small side: floor
+    assert _auto_join_partitions(8, MAX_AUTO_JOIN_PARTITIONS * one_tb,
+                                 None) == MAX_AUTO_JOIN_PARTITIONS
+
+    # metadata probe: known for a pure parquet read, None after a lazy
+    # transform (and cheap either way — no execution)
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sz = _known_size_bytes(ds)
+    assert sz is None or sz > 0
+    mapped = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    assert _known_size_bytes(mapped) is None or _known_size_bytes(mapped) > 0
