@@ -304,9 +304,116 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, text
             FROM documents
         """,
-        # docs_langid / docs_fingerprints / docs_minhash_pairs /
-        # docs_simhash_pairs / kg_* / media_features: heuristic, hash-based or
-        # model-shaped operators with no faithful ANSI-SQL twin -> rows-only
-        # checks; exact correctness covered by tests/ (oracle parity, brute-
-        # force comparisons).
+        # EXACT SQL twin of the SimHash near-dup operator: the token hash is
+        # md5-based precisely so DuckDB can recompute the full signature
+        # (md5_number_upper == little-endian first 8 md5 bytes, matching
+        # functions/hashing.token_hash64_md5). The WHERE reproduces BOTH the
+        # 16-bit-quarter LSH blocking (same recall semantics as the Ray
+        # pipeline) and the hamming threshold.
+        "docs_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ), th AS (
+                SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+            ), bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sigs AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                ELSE 0::UBIGINT END)::UBIGINT AS sig
+                FROM bits GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 0::UBIGINT AS sig
+                FROM documents WHERE trim(text) = ''
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE (((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+                OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+                OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+                OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+              AND bit_count(xor(a.sig, b.sig)) <= 10
+        """,
+        # Brute-force twin of the embedding near-dup operator. The Ray path
+        # is hyperplane-LSH-blocked (recall < 1 by construction); on the
+        # driver's fixed testdata the LSH pair set equals the brute-force
+        # set (verified at sf0.001 and sf0.01), so the exact SQL pins it.
+        "emb_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        """,
+        # BPE-ish subword count twin: wordpunct tokens (the CJK split branch
+        # never fires on Latin-script input; it is pinned by unit tests),
+        # long alphabetic tokens count ceil(len/4).
+        "docs_bpe_tokens": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\w+|[^\w\s]+')) AS tok
+                FROM documents
+            ), agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN length(tok) > 4
+                                     AND regexp_full_match(tok, '\p{L}+')
+                                THEN cast(ceil(length(tok) / 4.0) AS BIGINT)
+                                ELSE 1 END) AS n
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_bpe_tokens
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # Language-ID twin: per-language marker-word hit counts over
+        # lowercased wordpunct tokens; winner = FIRST language (en,es,fr,de
+        # order) reaching the max hit count, 'und' when nothing fires or the
+        # text is blank; CJK-ratio gate mirrored (never fires on this data).
+        "docs_langid": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           regexp_extract_all(text, '\w+|[^\w\s]+'),
+                           x -> lower(x)) AS toks,
+                       len(regexp_extract_all(text,
+                           '[가-힣぀-ヿ一-鿿]')) AS n_cjk
+                FROM documents
+            ), h AS (
+                SELECT doc_id, text, n_cjk,
+                       len(list_filter(toks, x -> x IN ('the','a','an','and',
+                           'of','to','in','is','it','that','for','on','with',
+                           'as','was','at','by','be','this','are','or')))
+                           AS en_h,
+                       len(list_filter(toks, x -> x IN ('el','la','los','las',
+                           'de','que','y','es','en','un','una','por','con',
+                           'para','no','se'))) AS es_h,
+                       len(list_filter(toks, x -> x IN ('le','la','les','des',
+                           'et','est','une','dans','pour','que','qui','pas',
+                           'sur','avec','ce'))) AS fr_h,
+                       len(list_filter(toks, x -> x IN ('der','die','das',
+                           'und','ist','nicht','ein','eine','zu','den','von',
+                           'mit','auf','für'))) AS de_h
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 'und'
+                        WHEN n_cjk / greatest(length(text), 1) > 0.2 THEN 'zh'
+                        WHEN greatest(en_h, es_h, fr_h, de_h) = 0 THEN 'und'
+                        WHEN en_h = greatest(en_h, es_h, fr_h, de_h) THEN 'en'
+                        WHEN es_h = greatest(es_h, fr_h, de_h) THEN 'es'
+                        WHEN fr_h = greatest(fr_h, de_h) THEN 'fr'
+                        ELSE 'de' END AS detected_lang
+            FROM h
+        """,
+        # docs_fingerprints / docs_minhash_pairs / kg_* / media_features:
+        # hash-based or model-shaped operators with no faithful ANSI-SQL
+        # twin -> rows-only checks; exact correctness covered by tests/
+        # (oracle parity, brute-force comparisons).
     }

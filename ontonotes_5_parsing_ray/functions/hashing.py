@@ -113,19 +113,30 @@ class MinHasher:
         return keys
 
 
+def token_hash64_md5(tok: str) -> int:
+    """64-bit token hash = little-endian first 8 bytes of md5 — chosen
+    because it is exactly reproducible in ANSI-ish SQL (DuckDB's
+    ``md5_number_upper``), which is what makes simhash SQL-oracle-checkable."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+
+
 def simhash64(tokens: Sequence[str]) -> int:
-    """64-bit SimHash over token features (near-dup by Hamming distance)."""
+    """64-bit SimHash over token features (near-dup by Hamming distance).
+
+    Token hash is md5-based (:func:`token_hash64_md5`) so the whole
+    signature has an exact DuckDB twin (see ``__ray_entry__.oracle_sql``'s
+    ``docs_simhash_pairs``); the bit accumulation is one vectorized numpy
+    pass over the (tokens x 64) bit matrix."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = stable_hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
+    hs = np.fromiter((token_hash64_md5(t) for t in tokens),
+                     dtype=np.uint64, count=len(tokens))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 

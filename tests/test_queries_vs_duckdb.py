@@ -21,6 +21,10 @@ SQL_PAIRED = [
     "emb_knn_top10", "emb_label_stats", "transcript_ordering",
     "parts_by_type", "customers_without_orders", "lineitem_discount_bands",
     "events_user_stats", "distinct_event_types",
+    # round-3 oracle flips: exact SQL twins for simhash near-dup (md5-based
+    # signature), brute-force embedding near-dup, BPE-ish counts, lang-ID
+    "docs_simhash_pairs", "emb_near_dup_pairs", "docs_bpe_tokens",
+    "docs_langid",
 ]
 
 
