@@ -156,6 +156,27 @@ def _ids_set(cand_ids: rd.Dataset) -> set:
     return set(df["doc_id"].tolist()) if "doc_id" in df.columns else set()
 
 
+def _route_candidates(pairs: rd.Dataset, limit: int):
+    """Pick the verify route from the (materialized) candidate pairs.
+
+    Returns ``("broadcast", id_set)`` or ``("join", cand_ids_dataset)``.
+    When the pair count alone bounds the candidate set under ``limit``, the
+    ids are derived driver-side from the pairs columns directly — no
+    distributed distinct round-trip for the common small case. Only a large
+    pair set pays for the distributed distinct, and only a large CANDIDATE
+    set takes the join route."""
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= limit:
+        df = pairs.to_pandas()
+        ids = (set(df["doc_a"].tolist()) | set(df["doc_b"].tolist())
+               if len(df) and "doc_a" in df.columns else set())
+        return "broadcast", ids
+    cand = _distinct_candidate_ids(pairs).materialize()
+    if cand.count() <= limit:
+        return "broadcast", _ids_set(cand)
+    return "join", cand
+
+
 def _broadcast_candidate_payload(
     docs: rd.Dataset, cand_ids: set, payload_fn, columns
 ) -> pd.DataFrame:
@@ -343,10 +364,10 @@ def minhash_near_dup_pairs(
             "sig": pa.array(sigs, pa.binary()),
         })
 
-    cand_ids = _distinct_candidate_ids(pairs).materialize()
-    if cand_ids.count() > payload_broadcast_limit:
+    route, cand = _route_candidates(pairs, payload_broadcast_limit)
+    if route == "join":
         joined = _joined_pair_payload(
-            docs, pairs, cand_ids, payload_fn,
+            docs, pairs, cand, payload_fn,
             ["doc_id", "text"], ["text", "sig"],
         )
 
@@ -376,7 +397,7 @@ def minhash_near_dup_pairs(
         return joined.map_batches(verify_joined, batch_format="pandas")
 
     pdf = _broadcast_candidate_payload(
-        docs, _ids_set(cand_ids), payload_fn, ["doc_id", "text"],
+        docs, cand, payload_fn, ["doc_id", "text"],
     )
     sig_matrix = (np.stack([np.frombuffer(b, np.uint64) for b in pdf["sig"]])
                   if len(pdf) else np.empty((0, num_perm), dtype=np.uint64))
@@ -471,10 +492,10 @@ def simhash_near_dup_pairs(
                             pa.uint64()),
         })
 
-    cand_ids = _distinct_candidate_ids(pairs).materialize()
-    if cand_ids.count() > payload_broadcast_limit:
+    route, cand = _route_candidates(pairs, payload_broadcast_limit)
+    if route == "join":
         joined = _joined_pair_payload(
-            docs, pairs, cand_ids, payload_fn, ["doc_id", "text"], ["sig"],
+            docs, pairs, cand, payload_fn, ["doc_id", "text"], ["sig"],
         )
 
         def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
@@ -495,7 +516,7 @@ def simhash_near_dup_pairs(
         return joined.map_batches(verify_joined, batch_format="pandas")
 
     pdf = _broadcast_candidate_payload(
-        docs, _ids_set(cand_ids), payload_fn, ["doc_id", "text"],
+        docs, cand, payload_fn, ["doc_id", "text"],
     )
     sig_ref = ray.put({int(d): int(s) for d, s in zip(pdf["doc_id"], pdf["sig"])})
 
