@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
+        "docs_source_quota": q.docs_source_quota,
+        "docs_simhash_dedup": q.docs_simhash_dedup,
+        "events_hopping": q.events_hopping,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -411,6 +414,70 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr_h = greatest(fr_h, de_h) THEN 'fr'
                         ELSE 'de' END AS detected_lang
             FROM h
+        """,
+        # Per-source quota (the "K docs per domain" cap): row_number twin.
+        "docs_source_quota": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        # Near-dup collapse twin: the full simhash pair pipeline (signature,
+        # quarter blocking, hamming <= 10) re-expressed in SQL, then every
+        # pair's larger id dropped.
+        "docs_simhash_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ), th AS (
+                SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+            ), bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sigs AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                ELSE 0::UBIGINT END)::UBIGINT AS sig
+                FROM bits GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 0::UBIGINT AS sig
+                FROM documents WHERE trim(text) = ''
+            ), dup AS (
+                SELECT DISTINCT b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+                WHERE (((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+                    OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+                    OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+                    OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+                  AND bit_count(xor(a.sig, b.sig)) <= 10
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        """,
+        # Hopping windows: every event expands to window/hop overlapping
+        # hop-aligned windows via a generate_series cross join.
+        "events_hopping": """
+            WITH e AS (
+                SELECT event_type, value,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events
+            ), w AS (
+                SELECT event_type, value,
+                       ((ep // 900) - g.i) * 900 AS window_start
+                FROM e CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS i) g
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM w GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         # docs_fingerprints / docs_minhash_pairs / kg_* / media_features:
         # hash-based or model-shaped operators with no faithful ANSI-SQL

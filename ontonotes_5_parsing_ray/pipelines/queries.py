@@ -556,6 +556,57 @@ def emb_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def docs_source_quota(sf_dir: str) -> rd.Dataset:
+    """Per-source document quota (the "at most K docs per domain" training-
+    data cap): keep the first 5 docs of each source by doc_id. Hash(source)
+    partitions + one vectorized cumcount pass per partition; SQL twin is a
+    row_number window."""
+    from ..stages.relational import groupwise_head
+
+    docs = _read(sf_dir, "documents", columns=["source", "doc_id"])
+    return groupwise_head(docs, "source", ["doc_id"], k=5)
+
+
+def docs_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate COLLAPSE, composed end to end: simhash near-dup pairs
+    -> drop every pair's larger id (doc_a < doc_b, so doc_b is the
+    duplicate; the smaller id is the kept representative) -> surviving doc
+    ids. The drop set is bounded by the candidate pairs, so it broadcasts;
+    at a scale where even that overflows, the same pairs Dataset feeds a
+    hash-partitioned anti join on doc_id (one more exchange). Fully
+    oracle-checked: the SQL twin recomputes signatures, blocking, hamming
+    AND the NOT IN collapse."""
+    import ray
+
+    from ..stages.dedup import simhash_near_dup_pairs
+    from ..stages.relational import broadcast_semi_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    pairs = simhash_near_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=10,
+    )
+    dup_df = pairs.map_batches(
+        lambda t: t.select(["doc_b"]), batch_format="pyarrow"
+    ).to_pandas()
+    dups = (set(dup_df["doc_b"].tolist())
+            if "doc_b" in dup_df.columns else set())
+    kept = broadcast_semi_join(docs, dups, "doc_id", anti=True).to_pandas()
+    if kept.empty:
+        kept = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype=object)})
+    return kept[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate (1h windows, 15min hop): each event lands in
+    4 overlapping hop-aligned windows via one vectorized expansion."""
+    from ..stages.relational import hopping_event_counts
+
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return hopping_event_counts(events, window_seconds=3600, hop_seconds=900)
+
+
 def docs_bpe_tokens(sf_dir: str) -> rd.Dataset:
     """BPE-ish subword token counts per document (rows-only: the chunking
     heuristic has no faithful SQL twin)."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -270,6 +271,44 @@ def distributed_topk(
     return topk(parts, by, ascending, k)
 
 
+def groupwise_head(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: List[str],
+    k: int,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Deterministic per-key quota sampling: keep the first ``k`` rows of
+    each key under ``order_cols`` order (the training-data "at most K
+    documents per domain" cap; SQL twin: ``row_number() OVER (PARTITION BY
+    key ORDER BY ...) <= k``).
+
+    Keys hash into ``num_partitions`` bounded partitions; inside each, ONE
+    vectorized sort + ``groupby.cumcount`` pass selects survivors — never a
+    UDF call per key. A key hotter than a partition is already capped at
+    ``k`` by this very operator, so skew cannot blow a partition's output
+    (input skew within the partition is bounded by the upstream read)."""
+    from ..functions.hashing import partition_vec
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = partition_vec(
+            batch.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def head_partition(group: pd.DataFrame) -> pa.Table:
+        df = group.drop(columns=["part"]).sort_values(
+            [key_col] + order_cols, kind="mergesort")
+        keep = df.groupby(key_col, sort=False).cumcount() < k
+        return to_arrow(df[keep.to_numpy()])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(head_partition, batch_format="pandas")
+    )
+
+
 def windowed_event_counts(
     events: rd.Dataset,
     window_seconds: int = 3600,
@@ -294,6 +333,46 @@ def windowed_event_counts(
 
     out = preagg_groupby(
         events.map_batches(add_window, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "value_sum": ("value", "sum")},
+        driver_limit=driver_limit,
+    )
+    out["value_sum"] = round_half_away(out["value_sum"].to_numpy(), 6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def hopping_event_counts(
+    events: rd.Dataset,
+    window_seconds: int = 3600,
+    hop_seconds: int = 900,
+    driver_limit: int = PREAGG_DRIVER_LIMIT,
+) -> pd.DataFrame:
+    """Hopping (sliding, hop-aligned) windows per (event_type, window):
+    every event lands in ``window_seconds / hop_seconds`` overlapping
+    windows whose starts are hop-aligned. The expansion is one vectorized
+    numpy tile per batch (no per-row loop, no per-window pass over the
+    data), then the same mergeable partial/combine machinery as the
+    tumbling variant. ``hop_seconds`` must divide ``window_seconds``.
+    SQL twin: cross join against generate_series of hop offsets."""
+    if window_seconds % hop_seconds:
+        raise ValueError("hop_seconds must divide window_seconds")
+    fan = window_seconds // hop_seconds
+
+    def add_windows(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch["ts"].astype("datetime64[us]").astype("int64")
+                 // 1_000_000).to_numpy()
+        base = (epoch // hop_seconds) * hop_seconds
+        offsets = np.arange(fan, dtype=np.int64) * hop_seconds
+        starts = (np.repeat(base, fan)
+                  - np.tile(offsets, len(base)))
+        return pd.DataFrame({
+            "event_type": np.repeat(batch["event_type"].to_numpy(), fan),
+            "value": np.repeat(batch["value"].to_numpy(), fan),
+            "window_start": starts,
+        })
+
+    out = preagg_groupby(
+        events.map_batches(add_windows, batch_format="pandas"),
         ["event_type", "window_start"],
         {"n_events": ("value", "count"), "value_sum": ("value", "sum")},
         driver_limit=driver_limit,

@@ -332,3 +332,48 @@ def test_auto_join_partitions_size_aware(ray_session):
     assert sz is None or sz > 0
     mapped = ds.map_batches(lambda t: t, batch_format="pyarrow")
     assert _known_size_bytes(mapped) is None or _known_size_bytes(mapped) > 0
+
+
+def test_groupwise_head_quota(ray_session):
+    """Per-key quota: exactly min(k, n_key) survivors per key, the FIRST k
+    under the given order, even when one key dominates the input."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import groupwise_head
+
+    rows = []
+    for i in range(500):
+        rows.append(("hot", i))          # hot key: 500 rows
+    for k in range(20):
+        for i in range(3):
+            rows.append((f"cold{k}", i))  # 20 cold keys x 3 rows
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+    out = groupwise_head(ds, "source", ["doc_id"], k=5).to_pandas()
+    counts = out.groupby("source")["doc_id"].agg(["size", "max"])
+    assert counts.loc["hot", "size"] == 5
+    assert counts.loc["hot", "max"] == 4  # the FIRST five by doc_id
+    assert (counts.drop("hot")["size"] == 3).all()
+
+
+def test_hopping_windows_cover_each_event_fan_times(ray_session):
+    """Each event contributes to exactly window/hop windows, and the
+    per-window counts sum to fan x n_events."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import hopping_event_counts
+
+    ts = pd.to_datetime([1_700_000_000 + i * 400 for i in range(50)], unit="s")
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 50, pa.string()),
+        "value": pa.array([1.0] * 50, pa.float64()),
+    }))
+    out = hopping_event_counts(ds, window_seconds=3600, hop_seconds=900)
+    assert out["n_events"].sum() == 4 * 50
+    assert (out["window_start"] % 900 == 0).all()

@@ -25,6 +25,9 @@ SQL_PAIRED = [
     # signature), brute-force embedding near-dup, BPE-ish counts, lang-ID
     "docs_simhash_pairs", "emb_near_dup_pairs", "docs_bpe_tokens",
     "docs_langid",
+    # round-3 new operators (quota sampling, near-dup collapse, hopping
+    # windows) — all with exact SQL twins
+    "docs_source_quota", "docs_simhash_dedup", "events_hopping",
 ]
 
 
