@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_source_quota": q.docs_source_quota,
         "docs_simhash_dedup": q.docs_simhash_dedup,
+        "docs_sample_10pct": q.docs_sample_10pct,
+        "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
@@ -478,6 +480,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS value_sum
             FROM w GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        # Deterministic hash sampling: the md5 selector is SQL-reproducible.
+        "docs_sample_10pct": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE md5_number_upper(doc_id::VARCHAR) % 100 < 10
+        """,
+        # Corpus vocabulary head: whitespace tokens, top-20 by frequency.
+        "docs_top_terms": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, count(*)::BIGINT AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 20
         """,
         # docs_fingerprints / docs_minhash_pairs / kg_* / media_features:
         # hash-based or model-shaped operators with no faithful ANSI-SQL

@@ -607,6 +607,51 @@ def events_hopping(sf_dir: str) -> pd.DataFrame:
     return hopping_event_counts(events, window_seconds=3600, hop_seconds=900)
 
 
+def docs_sample_10pct(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based sampling (reproducible train/holdout style
+    splits without a shuffle): keep a doc iff
+    ``md5_hash64(doc_id) % 100 < 10``. Pure per-batch filter — streams, no
+    state, no shuffle; identical selection on every run/worker, and the md5
+    selector has an exact SQL twin (``md5_number_upper``)."""
+    from ..functions.hashing import token_hash64_md5
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def keep(batch: pd.DataFrame) -> pa.Table:
+        sel = np.fromiter(
+            (token_hash64_md5(str(d)) % 100 < 10 for d in batch["doc_id"]),
+            dtype=bool, count=len(batch))
+        return pa.Table.from_pandas(batch[sel], preserve_index=False)
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def docs_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary head: top-20 whitespace tokens by total frequency
+    (ties lexicographic). Per-batch pandas explode+value_counts partials
+    (the flat-map fan-out never leaves the batch), a distributed combine
+    over the token vocabulary, then partial top-k — the driver sees only
+    blocks x k rows."""
+    from ..stages.relational import distributed_topk, preagg_groupby_ds
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def token_counts(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.strip().str.split()
+        counts = toks.explode().value_counts()
+        return pa.table({
+            "token": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(counts.to_numpy(), pa.int64()),
+        })
+
+    vocab = preagg_groupby_ds(
+        docs.map_batches(token_counts, batch_format="pandas"),
+        ["token"], {"n": ("n", "sum")},
+    )
+    top = distributed_topk(vocab, ["n", "token"], [False, True], 20)
+    return top[["token", "n"]].reset_index(drop=True)
+
+
 def docs_bpe_tokens(sf_dir: str) -> rd.Dataset:
     """BPE-ish subword token counts per document (rows-only: the chunking
     heuristic has no faithful SQL twin)."""
