@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
         "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
+        "emb_knn_ivf": q.emb_knn_ivf,
         "emb_label_stats": q.emb_label_stats,
         "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)
@@ -498,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token
             LIMIT 20
         """,
-        # docs_fingerprints / docs_minhash_pairs / kg_* / media_features:
+        # docs_fingerprints / docs_minhash_pairs / emb_knn_ivf / kg_* / media_features:
         # hash-based or model-shaped operators with no faithful ANSI-SQL
         # twin -> rows-only checks; exact correctness covered by tests/
         # (oracle parity, brute-force comparisons).

@@ -542,6 +542,44 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     return idx_dir
 
 
+def emb_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """Top-k through the IVF index (distributed k-means coarse quantizer +
+    cluster-partitioned corpus): the query probes its 4 nearest of 16
+    clusters — the classic inverted-file ANN layout next to the LSH one.
+    Rows-only at the driver (approximate by construction); recall and the
+    full-probe==exact degeneracy are pinned in tests/test_ann.py."""
+    from ..stages.ann import knn_ivf_indexed
+
+    idx_dir = _ensure_ivf_index(sf_dir)
+    return knn_ivf_indexed(idx_dir, _query_vector(sf_dir), k=10, n_probe=4)
+
+
+def _ensure_ivf_index(sf_dir: str, n_clusters: int = 16) -> str:
+    """Build (or reuse) the cached IVF index for ``sf_dir`` (same atomic
+    tmp-dir + os.replace lifecycle and size+mtime cache key as the LSH
+    index)."""
+    import shutil
+
+    from ..stages.ann import build_ivf_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/onr_ivf_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
+    if not os.path.isfile(os.path.join(idx_dir, "_META")):
+        tmp_dir = idx_dir + ".build"
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        build_ivf_index(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            tmp_dir, n_clusters=n_clusters,
+        )  # writes _META last
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.replace(tmp_dir, idx_dir)
+    return idx_dir
+
+
 def emb_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-bucket blocking +
     in-bucket exact cosine verify). Schema-stable when empty."""

@@ -234,6 +234,149 @@ def knn_lsh_indexed(
     ).head(k).reset_index(drop=True)
 
 
+def kmeans_fit(
+    embeddings: rd.Dataset,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> np.ndarray:
+    """Distributed spherical k-means (the IVF coarse quantizer).
+
+    Lloyd iterations, Ray-Data-shaped: per round the (k x dim) centroid
+    matrix is broadcast once via ``ray.put``; each batch does one numpy
+    argmax assignment and emits MERGEABLE per-cluster (sum, count) partials
+    (k rows per batch, never per-vector rows); the driver combine is
+    O(k x dim x blocks). Deterministic: init = the k lowest-vec_id vectors
+    (selected with the same partial-top-k pattern as knn), ties impossible
+    (vec_id unique); empty clusters keep their previous centroid.
+    """
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[:n_clusters]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "embedding": batch.column("embedding").take(pa.array(order)),
+        })
+
+    seed_df = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        init_partial, batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id").head(n_clusters)
+    cents = _unit(np.asarray(seed_df["embedding"].tolist(), dtype=np.float64))
+
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            vecs = np.asarray(batch.column("embedding").to_pylist(),
+                              dtype=np.float64)
+            assign = np.argmax(_unit(vecs) @ c.T, axis=1)
+            out_c, out_sum, out_n = [], [], []
+            for ci in np.unique(assign):
+                mask = assign == ci
+                out_c.append(int(ci))
+                out_sum.append(vecs[mask].sum(axis=0).tolist())
+                out_n.append(int(mask.sum()))
+            return pa.table({
+                "cluster": pa.array(out_c, pa.int32()),
+                "vec_sum": pa.array(out_sum, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            })
+
+        parts = embeddings.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pyarrow"
+        ).to_pandas()
+        new_cents = cents.copy()
+        for ci, group in parts.groupby("cluster"):
+            total = np.sum(np.asarray(group["vec_sum"].tolist()), axis=0)
+            n = group["n"].sum()
+            if n:
+                new_cents[int(ci)] = total / n
+        cents = _unit(new_cents)
+    return cents
+
+
+def build_ivf_index(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> str:
+    """IVF index: k-means coarse quantizer + corpus written hive-partitioned
+    by nearest-centroid cluster. Queries probe only their ``n_probe``
+    nearest clusters' partitions — like the LSH index, pruning happens at
+    the READ. ``_META`` carries the centroid matrix so a query reconstructs
+    the identical assignment geometry."""
+    import json as _json
+    import os
+
+    cents = kmeans_fit(embeddings, n_clusters=n_clusters, n_iter=n_iter)
+    c_ref = ray.put(cents)
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        assign = np.argmax(_unit(vecs) @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(assign, pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    embeddings.map_batches(add_cluster, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cluster"]
+    )
+    with open(os.path.join(out_dir, "_META"), "w") as fh:
+        _json.dump({"n_clusters": n_clusters,
+                    "centroids": cents.tolist()}, fh)
+    return out_dir
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k over a :func:`build_ivf_index` layout: only the
+    ``n_probe`` nearest clusters' partitions are opened; exact cosine rerank
+    inside. ``n_probe == n_clusters`` degenerates to the exact scan
+    (asserted against brute force in tests)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "_META")) as fh:
+        meta = _json.load(fh)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    order = np.argsort(-(cents @ q.ravel()))[:n_probe]
+    files = [
+        os.path.join(d, f)
+        for ci in sorted(int(c) for c in order)
+        for d in [os.path.join(index_dir, f"cluster={ci}")]
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    if not files:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        cos = round_half_away(
+            (_unit(vecs) @ ray.get(q_ref).T).ravel().astype(np.float64), 6)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(cos[order]),
+        })
+
+    partials = rd.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow").to_pandas()
+    return partials.sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+
+
 LABEL_CENTROID_DRIVER_LIMIT = 200_000
 
 

@@ -110,3 +110,48 @@ def test_label_centroids_distributed_equals_driver(ray_session):
     assert drv["n"].tolist() == dist["n"].tolist()
     for a, b in zip(drv["centroid"], dist["centroid"]):
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session, tmp_path):
+    """IVF with n_probe == n_clusters degenerates to the exact scan: result
+    must equal brute force row for row. Fewer probes stay a subset of the
+    corpus with high recall on clustered data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.ann import (
+        build_ivf_index,
+        kmeans_fit,
+        knn_bruteforce,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 24).astype(np.float64) * 3
+    vecs = np.concatenate([
+        centers[i % 8] + rng.randn(24) * 0.2 for i in range(400)
+    ]).reshape(400, 24)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    }))
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_clusters=8, n_iter=4)
+    query = vecs[7]
+
+    exact = knn_bruteforce(ds, query, k=10)
+    full = knn_ivf_indexed(idx, query, k=10, n_probe=8)
+    pd.testing.assert_frame_equal(exact, full)
+
+    probed = knn_ivf_indexed(idx, query, k=10, n_probe=2)
+    # clustered data: the query's own cluster holds its neighbors
+    overlap = len(set(probed["vec_id"]) & set(exact["vec_id"]))
+    assert overlap >= 8
+
+    # determinism: refit yields identical centroids
+    c1 = kmeans_fit(ds, n_clusters=8, n_iter=4)
+    c2 = kmeans_fit(ds, n_clusters=8, n_iter=4)
+    assert np.array_equal(c1, c2)

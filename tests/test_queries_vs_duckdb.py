@@ -79,6 +79,6 @@ def test_every_query_has_an_oracle_or_rationale():
     assert all(
         n.startswith(("kg_", "docs_langid", "docs_fingerprints",
                       "docs_minhash", "docs_simhash", "docs_bpe",
-                      "media_", "emb_knn_lsh", "emb_near_dup"))
+                      "media_", "emb_knn_lsh", "emb_knn_ivf", "emb_near_dup"))
         for n in rows_only
     ), rows_only
