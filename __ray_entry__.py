@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_10pct": q.docs_sample_10pct,
         "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
+        "events_last_purchase": q.events_last_purchase,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -462,6 +463,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        """,
+        # As-of join twin: DuckDB's native ASOF LEFT JOIN (latest right row
+        # with right.ep <= left.ep per user); right side pre-collapsed to
+        # one row per (user, second) so ties are well-defined.
+        "events_last_purchase": """
+            WITH v AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events WHERE event_type = 'view'
+            ), p AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS ep,
+                       max(value) AS pvalue
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ep
+            )
+            SELECT v.event_id, v.user_id, v.ep,
+                   coalesce(p.ep, -1)::BIGINT AS last_purchase_ep,
+                   round(coalesce(p.pvalue, 0), 6) AS last_purchase_value
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ep >= p.ep
+            ORDER BY v.event_id
         """,
         # Hopping windows: every event expands to window/hop overlapping
         # hop-aligned windows via a generate_series cross join.

@@ -205,6 +205,56 @@ def events_sessions_salted(sf_dir: str) -> rd.Dataset:
     return sessionize_events_salted(events, 1800)
 
 
+def events_last_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join showcase: every 'view' event picks up the user's most
+    recent prior-or-same-instant 'purchase' (ep + value). Both sides stream
+    through one co-partitioned union; each partition runs one vectorized
+    ``pd.merge_asof``. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from ..stages.relational import asof_join, preagg_groupby_ds
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(keep_type: str, cols):
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            b = batch[batch["event_type"] == keep_type].copy()
+            b["ep"] = (b["ts"].astype("datetime64[us]").astype("int64")
+                       // 1_000_000)
+            from ..stages.relational import to_arrow
+            return to_arrow(b[cols])
+        return fn
+
+    views = events.map_batches(
+        side("view", ["event_id", "user_id", "ep", "value"]),
+        batch_format="pandas")
+    # one purchase row per (user, second): ties collapse to max(value) so
+    # the as-of pick is well-defined on BOTH engines
+    purchases = preagg_groupby_ds(
+        events.map_batches(
+            side("purchase", ["user_id", "ep", "value"]),
+            batch_format="pandas"),
+        ["user_id", "ep"], {"pvalue": ("value", "max")},
+    ).map_batches(
+        lambda t: t.append_column("pep", t.column("ep")),
+        batch_format="pyarrow",
+    )
+
+    joined = asof_join(
+        views, purchases, by="user_id", on="ep",
+        left_cols=["user_id", "ep", "event_id", "value"],
+        right_cols=["user_id", "ep", "pvalue", "pep"],
+    ).to_pandas()
+    out = pd.DataFrame({
+        "event_id": joined["event_id"].astype("int64"),
+        "user_id": joined["user_id"].astype("int64"),
+        "ep": joined["ep"].astype("int64"),
+        "last_purchase_ep": joined["pep"].fillna(-1).astype("int64"),
+        "last_purchase_value": round_half_away(
+            joined["pvalue"].fillna(0.0).to_numpy(), 6),
+    })
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Documents: text analysis + dedup
 # --------------------------------------------------------------------------

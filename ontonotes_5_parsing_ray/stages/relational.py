@@ -271,6 +271,71 @@ def distributed_topk(
     return topk(parts, by, ascending, k)
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Backward as-of join: each left row picks up the LATEST right row with
+    ``right.on <= left.on`` for the same ``by`` key (DuckDB ``ASOF LEFT
+    JOIN`` semantics; unmatched right columns come back null).
+
+    Ray Data has no native as-of join, so this is the documented composition:
+    both sides are tagged and CO-PARTITIONED by ``hash(by) % P`` through one
+    union + groupby (every key's rows from both sides land in the same
+    bounded partition), and each partition runs ONE vectorized
+    ``pd.merge_asof`` — never a per-key UDF. Partitioning assumption: all
+    rows of one ``by`` key fit a partition; a hotter-than-partition key needs
+    an upstream time-bucket salt (same recipe as ``sessionize_events_salted``).
+    ``left_cols``/``right_cols`` must share ONLY ``by`` and ``on``; value
+    columns must be NUMERIC — both sides' value columns ride the union as
+    float64 (uniform arrow schema across the tagged union; int values
+    round-trip exactly below 2^53 — recast downstream), with NaN padding on
+    the absent side."""
+    from ..functions.hashing import partition_vec
+
+    left_only = [c for c in left_cols if c not in (by, on)]
+    right_only = [c for c in right_cols if c not in (by, on)]
+    overlap = set(left_only) & set(right_only)
+    if overlap:
+        raise ValueError(f"rename overlapping value columns first: {overlap}")
+    union_cols = [by, on] + left_only + right_only
+
+    def tag(side: int, present: List[str]):
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            df = pd.DataFrame({
+                c: (batch[c].astype("float64") if c in present
+                    else pd.Series([np.nan] * len(batch), dtype="float64"))
+                for c in union_cols
+                if c not in (by, on)
+            })
+            df.insert(0, by, batch[by])
+            df.insert(1, on, batch[on])
+            df["_side"] = np.int8(side)
+            df["part"] = partition_vec(df[by], num_partitions)
+            return to_arrow(df[union_cols + ["_side", "part"]])
+        return fn
+
+    tagged = left.map_batches(tag(0, left_cols), batch_format="pandas").union(
+        right.map_batches(tag(1, right_cols), batch_format="pandas")
+    )
+
+    def merge_partition(group: pd.DataFrame) -> pa.Table:
+        l = group[group["_side"] == 0][[by, on] + left_only] \
+            .sort_values(on, kind="mergesort")
+        r = group[group["_side"] == 1][[by, on] + right_only] \
+            .sort_values(on, kind="mergesort")
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return to_arrow(out)
+
+    return tagged.groupby("part").map_groups(
+        merge_partition, batch_format="pandas")
+
+
 def groupwise_head(
     ds: rd.Dataset,
     key_col: str,

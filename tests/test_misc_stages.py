@@ -377,3 +377,34 @@ def test_hopping_windows_cover_each_event_fan_times(ray_session):
     out = hopping_event_counts(ds, window_seconds=3600, hop_seconds=900)
     assert out["n_events"].sum() == 4 * 50
     assert (out["window_start"] % 900 == 0).all()
+
+
+def test_asof_join_backward_semantics(ray_session):
+    """asof_join: latest right row with on <= left.on per key; exact-instant
+    matches count; keys with no earlier right row come back NaN."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 20, 30, 15, 5], pa.int64()),
+        "lval": pa.array([0.1, 0.2, 0.3, 0.4, 0.5], pa.float64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 25, 12, 50], pa.int64()),
+        "rval": pa.array([100.0, 200.0, 300.0, 400.0], pa.float64()),
+    }))
+    out = asof_join(left, right, by="uid", on="t",
+                    left_cols=["uid", "t", "lval"],
+                    right_cols=["uid", "t", "rval"]).to_pandas()
+    out = out.sort_values(["uid", "t"]).reset_index(drop=True)
+    got = list(out["rval"])
+    # uid1: t=10 -> exact match 100; t=20 -> 100; t=30 -> 200 (t=25)
+    # uid2: t=15 -> 300 (t=12); uid3: t=5 -> no right row <= 5 -> NaN
+    assert got[:4] == [100.0, 100.0, 200.0, 300.0]
+    assert np.isnan(got[4])

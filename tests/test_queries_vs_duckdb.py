@@ -28,7 +28,7 @@ SQL_PAIRED = [
     # round-3 new operators (quota sampling, near-dup collapse, hopping
     # windows) — all with exact SQL twins
     "docs_source_quota", "docs_simhash_dedup", "events_hopping",
-    "docs_sample_10pct", "docs_top_terms",
+    "docs_sample_10pct", "docs_top_terms", "events_last_purchase",
 ]
 
 
