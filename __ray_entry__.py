@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
+        "events_median_value": q.events_median_value,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -463,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        """,
+        # Exact grouped median (selection via histogram refinement on the
+        # Ray side; DuckDB computes the interpolated median directly).
+        "events_median_value": """
+            SELECT event_type,
+                   round(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type
         """,
         # As-of join twin: DuckDB's native ASOF LEFT JOIN (latest right row
         # with right.ep <= left.ep per user); right side pre-collapsed to

@@ -205,6 +205,18 @@ def events_sessions_salted(sf_dir: str) -> rd.Dataset:
     return sessionize_events_salted(events, 1800)
 
 
+def events_median_value(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type median via the 3-pass histogram-refinement selection
+    (no sort, no shuffle of raw values): stats pass -> histogram pass ->
+    candidate-bucket fetch. DuckDB median() is the oracle."""
+    from ..stages.relational import grouped_median
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_median(events, "event_type", "value")
+    out["median_value"] = round_half_away(out["median_value"].to_numpy(), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

@@ -271,6 +271,140 @@ def distributed_topk(
     return topk(parts, by, ascending, k)
 
 
+def grouped_median(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 2048,
+    driver_limit: int = 500_000,
+) -> pd.DataFrame:
+    """EXACT per-key median of a float column without any sort or shuffle —
+    three streaming passes (the iterative histogram-refinement selection):
+
+    1. per-key (count, min, max) via mergeable partials;
+    2. per-key fixed-width histogram (one vectorized clip/floor per batch,
+       partial counts combined by a tiny groupby) locates the bucket(s)
+       holding the median rank(s);
+    3. a filtered pass collects ONLY the candidate buckets' values
+       (expected n/n_buckets per key) to the driver for the exact pick.
+
+    Interpolated median (mean of the two middle values for even counts) —
+    DuckDB ``median(DOUBLE)`` semantics, which is what the SQL oracle
+    checks. Degenerate keys (constant value, single row) shortcut after
+    pass 1. A pathological key putting more than ``driver_limit`` values
+    into one candidate bucket (massive duplicate concentration just beside
+    the median) would need another refinement round — fail-stop rather than
+    OOM."""
+    stats = preagg_groupby(ds, [key_col], {
+        "n": (value_col, "count"),
+        "mn": (value_col, "min"),
+        "mx": (value_col, "max"),
+    })
+    stats = stats.set_index(key_col)
+    done: Dict = {}
+    spec: Dict = {}
+    for key, row in stats.iterrows():
+        n, mn, mx = int(row["n"]), float(row["mn"]), float(row["mx"])
+        if n == 1 or mn == mx:
+            done[key] = mn
+            continue
+        k1, k2 = (n - 1) // 2, n // 2
+        spec[key] = (mn, mx, (mx - mn) / n_buckets, n, k1, k2)
+    if spec:
+        import ray
+
+        spec_ref = ray.put(spec)
+
+        def hist_partials(batch: pd.DataFrame) -> pa.Table:
+            sp = ray.get(spec_ref)
+            out_key, out_bucket, out_n = [], [], []
+            for key, g in batch.groupby(key_col, sort=False):
+                s = sp.get(key)
+                if s is None:
+                    continue
+                mn, mx, width, _n, _k1, _k2 = s
+                v = g[value_col].to_numpy(dtype=np.float64)
+                b = np.clip(((v - mn) / width).astype(np.int64),
+                            0, n_buckets - 1)
+                counts = np.bincount(b, minlength=n_buckets)
+                nz = np.nonzero(counts)[0]
+                out_key += [key] * len(nz)
+                out_bucket += nz.tolist()
+                out_n += counts[nz].tolist()
+            return to_arrow(pd.DataFrame({
+                key_col: pd.Series(out_key, dtype=batch[key_col].dtype),
+                "bucket": pd.Series(out_bucket, dtype="int64"),
+                "cnt": pd.Series(out_n, dtype="int64"),
+            }))
+
+        hist = preagg_groupby(
+            ds.select_columns([key_col, value_col]).map_batches(
+                hist_partials, batch_format="pandas"),
+            [key_col, "bucket"], {"cnt": ("cnt", "sum")},
+        )
+        # locate the bucket holding each target rank + its preceding count
+        targets: Dict = {}
+        for key, g in hist.groupby(key_col):
+            g = g.sort_values("bucket")
+            cum = g["cnt"].cumsum().to_numpy()
+            buckets = g["bucket"].to_numpy()
+            _mn, _mx, _w, _n, k1, k2 = spec[key]
+            want = {}
+            for k in (k1, k2):
+                i = int(np.searchsorted(cum, k + 1))
+                before = int(cum[i - 1]) if i else 0
+                want.setdefault(int(buckets[i]), []).append((k, k - before))
+            targets[key] = want
+
+        t_ref = ray.put({k: set(v.keys()) for k, v in targets.items()})
+        s_ref = ray.put(spec)
+
+        def candidates(batch: pd.DataFrame) -> pa.Table:
+            tg = ray.get(t_ref)
+            sp = ray.get(s_ref)
+            frames = []
+            for key, g in batch.groupby(key_col, sort=False):
+                want = tg.get(key)
+                if not want:
+                    continue
+                mn, _mx, width, _n, _k1, _k2 = sp[key]
+                v = g[value_col].to_numpy(dtype=np.float64)
+                b = np.clip(((v - mn) / width).astype(np.int64),
+                            0, n_buckets - 1)
+                mask = np.isin(b, list(want))
+                if mask.any():
+                    frames.append(pd.DataFrame({
+                        key_col: key, "bucket": b[mask], "v": v[mask]}))
+            if not frames:
+                return to_arrow(pd.DataFrame({
+                    key_col: pd.Series([], dtype=batch[key_col].dtype),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="float64"),
+                }))
+            return to_arrow(pd.concat(frames, ignore_index=True))
+
+        cand = ds.select_columns([key_col, value_col]).map_batches(
+            candidates, batch_format="pandas").to_pandas()
+        if len(cand) > driver_limit:
+            raise ValueError(
+                f"{len(cand)} candidate values exceed driver_limit="
+                f"{driver_limit}; raise n_buckets (duplicate-heavy key "
+                "near the median)")
+        for key, want in targets.items():
+            picked = []
+            kg = cand[cand[key_col] == key]
+            for bucket, ranks in want.items():
+                vals = np.sort(kg.loc[kg["bucket"] == bucket, "v"].to_numpy())
+                for _k, within in ranks:
+                    picked.append(vals[within])
+            done[key] = float(np.mean(picked))
+    out = pd.DataFrame({
+        key_col: sorted(done),
+        "median_value": [done[k] for k in sorted(done)],
+    })
+    return out.reset_index(drop=True)
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -408,3 +408,34 @@ def test_asof_join_backward_semantics(ray_session):
     # uid2: t=15 -> 300 (t=12); uid3: t=5 -> no right row <= 5 -> NaN
     assert got[:4] == [100.0, 100.0, 200.0, 300.0]
     assert np.isnan(got[4])
+
+
+def test_grouped_median_exact(ray_session):
+    """Exact interpolated median per key: odd counts, even counts, constant
+    keys, duplicate-heavy keys — all against numpy's median."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import grouped_median
+
+    rng = np.random.RandomState(17)
+    keys, vals = [], []
+    expect = {}
+    for name, data in (
+        ("odd", rng.randn(101) * 9),
+        ("even", rng.randn(200) + 3),
+        ("const", np.full(50, 2.5)),
+        ("dupes", np.repeat(rng.randn(7), 40)),
+        ("single", np.array([42.0])),
+    ):
+        keys += [name] * len(data)
+        vals += list(data)
+        expect[name] = float(np.median(data))
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    }))
+    out = grouped_median(ds, "k", "v").set_index("k")["median_value"]
+    for name, want in expect.items():
+        assert abs(out[name] - want) < 1e-12, (name, out[name], want)
