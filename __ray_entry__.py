@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_quota": q.docs_source_quota,
         "docs_simhash_dedup": q.docs_simhash_dedup,
         "docs_sample_10pct": q.docs_sample_10pct,
+        "docs_streaming_dedup": q.docs_streaming_dedup,
         "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
@@ -512,6 +513,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS value_sum
             FROM w GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        # Streaming dedup admits each distinct text exactly once.
+        "docs_streaming_dedup": """
+            SELECT text FROM documents GROUP BY text ORDER BY text
         """,
         # Deterministic hash sampling: the md5 selector is SQL-reproducible.
         "docs_sample_10pct": """

@@ -58,7 +58,20 @@ def read_transcripts(path: str) -> rd.Dataset:
     (``first_seen_ts``, reference ``ontonotes5_to_json.py:110-111``'s
     per-record metadata analogue). ``ts`` (and ``lang``) are OPTIONAL: the
     column list is intersected with the file schema so a ts-less transcript
-    parquet reads cleanly and ``_prov_columns`` fills ``ts = -1``."""
+    parquet reads cleanly and ``_prov_columns`` fills ``ts = -1``.
+
+    JSONL / CSV inputs dispatch by extension to ``sources.formats`` (Ray's
+    native readers + schema normalization) so every downstream stage is
+    format-agnostic."""
+    lower = path.lower()
+    if lower.endswith((".jsonl", ".json")):
+        from ..sources.formats import read_transcripts_jsonl
+
+        return read_transcripts_jsonl(path)
+    if lower.endswith(".csv"):
+        from ..sources.formats import read_transcripts_csv
+
+        return read_transcripts_csv(path)
     names = _transcript_schema_names(path)
     missing = [c for c in REQUIRED_TRANSCRIPT_COLUMNS if c not in names]
     if missing:

@@ -752,6 +752,23 @@ def docs_top_terms(sf_dir: str) -> pd.DataFrame:
     return top[["token", "n"]].reset_index(drop=True)
 
 
+def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup through the SHARED MUTABLE INDEX (sharded actors) — the
+    streaming-ingest twin of docs_exact_dedup. Which duplicate is admitted
+    first is arrival order, but the admitted TEXT SET is deterministic, so
+    the query returns the sorted distinct texts and the oracle is a plain
+    GROUP BY. (Membership is by 62-bit content hash: collision odds are
+    ~2^-62 per pair; the batch operator keys on full text where exactness
+    against adversarial collisions matters.)"""
+    from ..state.dedup_index import create_index, streaming_exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    shards = create_index(8)
+    kept = streaming_exact_dedup(docs, shards).to_pandas()
+    texts = sorted(kept["text"].tolist()) if "text" in kept.columns else []
+    return pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+
+
 def docs_bpe_tokens(sf_dir: str) -> rd.Dataset:
     """BPE-ish subword token counts per document (rows-only: the chunking
     heuristic has no faithful SQL twin)."""

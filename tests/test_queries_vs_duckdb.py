@@ -29,7 +29,7 @@ SQL_PAIRED = [
     # windows) — all with exact SQL twins
     "docs_source_quota", "docs_simhash_dedup", "events_hopping",
     "docs_sample_10pct", "docs_top_terms", "events_last_purchase",
-    "events_median_value",
+    "events_median_value", "docs_streaming_dedup",
 ]
 
 
