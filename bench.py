@@ -76,6 +76,14 @@ def run_bench() -> dict:
         ("docs_token_stats", lambda d: q.docs_token_stats(d).count()),
         ("docs_minhash_pairs", lambda d: q.docs_minhash_pairs(d).count()),
         ("emb_knn_top10", q.emb_knn_top10),
+        # round-3 operators (kept AFTER the legacy set so per-query numbers
+        # stay comparable across rounds)
+        ("events_hopping", q.events_hopping),
+        ("events_last_purchase", q.events_last_purchase),
+        ("events_median_value", q.events_median_value),
+        ("docs_top_terms", q.docs_top_terms),
+        ("docs_source_quota", lambda d: q.docs_source_quota(d).count()),
+        ("emb_knn_ivf", q.emb_knn_ivf),
     ]:
         t1 = time.time()
         fn(sf_dir)
