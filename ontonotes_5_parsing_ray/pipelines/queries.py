@@ -239,22 +239,26 @@ def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     views = events.map_batches(
         side("view", ["event_id", "user_id", "ep", "value"]),
         batch_format="pandas")
-    # one purchase row per (user, second): ties collapse to max(value) so
-    # the as-of pick is well-defined on BOTH engines
-    purchases = preagg_groupby_ds(
-        events.map_batches(
-            side("purchase", ["user_id", "ep", "value"]),
-            batch_format="pandas"),
-        ["user_id", "ep"], {"pvalue": ("value", "max")},
-    ).map_batches(
-        lambda t: t.append_column("pep", t.column("ep")),
-        batch_format="pyarrow",
-    )
+    # one purchase row per (user, second): (by, on) ties collapse to
+    # max(pvalue) INSIDE the as-of partitions (right_dedup_max) — no
+    # pre-aggregation shuffle, and the pick is well-defined on BOTH engines
+
+    def purchase_side(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["event_type"] == "purchase"].copy()
+        b["ep"] = (b["ts"].astype("datetime64[us]").astype("int64")
+                   // 1_000_000)
+        b = b.rename(columns={"value": "pvalue"})
+        b["pep"] = b["ep"]
+        from ..stages.relational import to_arrow
+        return to_arrow(b[["user_id", "ep", "pvalue", "pep"]])
+
+    purchases = events.map_batches(purchase_side, batch_format="pandas")
 
     joined = asof_join(
         views, purchases, by="user_id", on="ep",
         left_cols=["user_id", "ep", "event_id", "value"],
         right_cols=["user_id", "ep", "pvalue", "pep"],
+        right_dedup_max="pvalue",
     ).to_pandas()
     out = pd.DataFrame({
         "event_id": joined["event_id"].astype("int64"),

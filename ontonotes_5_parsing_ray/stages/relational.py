@@ -413,6 +413,7 @@ def asof_join(
     left_cols: List[str],
     right_cols: List[str],
     num_partitions: int = 64,
+    right_dedup_max: Optional[str] = None,
 ) -> rd.Dataset:
     """Backward as-of join: each left row picks up the LATEST right row with
     ``right.on <= left.on`` for the same ``by`` key (DuckDB ``ASOF LEFT
@@ -461,8 +462,14 @@ def asof_join(
     def merge_partition(group: pd.DataFrame) -> pa.Table:
         l = group[group["_side"] == 0][[by, on] + left_only] \
             .sort_values(on, kind="mergesort")
-        r = group[group["_side"] == 1][[by, on] + right_only] \
-            .sort_values(on, kind="mergesort")
+        r = group[group["_side"] == 1][[by, on] + right_only]
+        if right_dedup_max is not None:
+            # collapse right-side (by, on) ties to the max of one column
+            # INSIDE the partition — saves the caller a whole pre-aggregation
+            # shuffle; merge_asof needs unique match candidates anyway
+            r = r.sort_values([by, on, right_dedup_max], kind="mergesort") \
+                 .drop_duplicates([by, on], keep="last")
+        r = r.sort_values(on, kind="mergesort")
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
         return to_arrow(out)
 
