@@ -685,21 +685,19 @@ def docs_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import simhash_near_dup_pairs
     from ..stages.relational import broadcast_semi_join
 
+    from ..stages.dedup import drop_near_dup_docs
+
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
     pairs = simhash_near_dup_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         max_hamming=10,
     )
-    dup_df = pairs.map_batches(
-        lambda t: t.select(["doc_b"]), batch_format="pyarrow"
-    ).to_pandas()
-    dups = (set(dup_df["doc_b"].tolist())
-            if "doc_b" in dup_df.columns else set())
-    kept = broadcast_semi_join(docs, dups, "doc_id", anti=True).to_pandas()
+    kept = drop_near_dup_docs(docs, pairs).to_pandas()
     if kept.empty:
         kept = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "source": pd.Series(dtype=object)})
-    return kept[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    return kept[["doc_id", "source"]].sort_values("doc_id") \
+        .reset_index(drop=True)
 
 
 def events_hopping(sf_dir: str) -> pd.DataFrame:

@@ -608,3 +608,47 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+def drop_near_dup_docs(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """Near-dup COLLAPSE: drop every pair's larger id (``doc_b``; pairs are
+    a < b, so the smaller id is the kept representative).
+
+    Auto-routed like the verify stage: a small pair set broadcasts the drop
+    ids as a semi-anti filter; above ``broadcast_limit`` pairs the drop set
+    never touches the driver — a hash-partitioned LEFT join + null filter
+    (distributed anti join) does the subtraction. Both routes keep exactly
+    one row per surviving id (tested equal)."""
+    import pyarrow.compute as pc
+
+    from .relational import broadcast_semi_join, hash_join
+
+    pairs = pairs.materialize()
+    if pairs.count() <= broadcast_limit:
+        dup_df = pairs.map_batches(
+            lambda t: t.select(["doc_b"]), batch_format="pyarrow"
+        ).to_pandas()
+        dups = (set(dup_df["doc_b"].tolist())
+                if "doc_b" in dup_df.columns else set())
+        return broadcast_semi_join(docs, dups, id_col, anti=True)
+
+    from ray.data.aggregate import Count
+
+    dup_ids = pairs.map_batches(
+        lambda t: t.select(["doc_b"]), batch_format="pyarrow"
+    ).groupby("doc_b").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: t.select(["doc_b"]).rename_columns([id_col])
+                   .append_column("_dup", pa.array([1] * len(t), pa.int8())),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(docs, dup_ids, on=[id_col], join_type="left_outer")
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("_dup")))
+                   .drop_columns(["_dup"]),
+        batch_format="pyarrow",
+    )

@@ -213,3 +213,26 @@ def test_candidate_pairs_distributed_equals_driver(ray_session):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(via_driver) > 0
     pd.testing.assert_frame_equal(via_driver, via_dist)
+
+
+def test_drop_near_dup_docs_join_route_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the distributed anti-join collapse; the
+    surviving id set must equal the broadcast route's."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import drop_near_dup_docs
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "source": pa.array([f"s{i % 7}" for i in range(100)], pa.string()),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 0, 5, 40], pa.int64()),
+        "doc_b": pa.array([13, 27, 27, 90], pa.int64()),
+    }))
+    via_b = drop_near_dup_docs(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    via_j = drop_near_dup_docs(docs, pairs, broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(via_b) == 97  # 13, 27, 90 dropped (27 once)
+    pd.testing.assert_frame_equal(via_b, via_j)
