@@ -77,11 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_source_quota": q.docs_source_quota,
         "docs_simhash_dedup": q.docs_simhash_dedup,
+        "docs_training_mix": q.docs_training_mix,
         "docs_sample_10pct": q.docs_sample_10pct,
         "docs_streaming_dedup": q.docs_streaming_dedup,
         "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
+        "events_session_assignment": q.events_session_assignment,
         "events_median_value": q.events_median_value,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
@@ -474,6 +476,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             ORDER BY event_type
         """,
+        # Range-join twin: recompute the sessions and join each event into
+        # its (disjoint) session interval with BETWEEN.
+        "events_session_assignment": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ep
+                FROM events
+            ), g AS (
+                SELECT *, CASE WHEN ep - lag(ep) OVER w > 1800
+                               OR lag(ep) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+            ), s AS (
+                SELECT *, (sum(new_s) OVER (PARTITION BY user_id
+                                            ORDER BY ep, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                          AS session_idx
+                FROM g
+            ), sess AS (
+                SELECT user_id, session_idx,
+                       min(ep) AS session_start, max(ep) AS session_end
+                FROM s GROUP BY user_id, session_idx
+            )
+            SELECT ev.event_id, ev.user_id, sess.session_idx
+            FROM (SELECT event_id, user_id,
+                         epoch_us(ts) // 1000000 AS ep FROM events) ev
+            JOIN sess ON ev.user_id = sess.user_id
+                     AND ev.ep BETWEEN sess.session_start
+                                   AND sess.session_end
+            ORDER BY ev.event_id
+        """,
         # As-of join twin: DuckDB's native ASOF LEFT JOIN (latest right row
         # with right.ep <= left.ep per user); right side pre-collapsed to
         # one row per (user, second) so ties are well-defined.
@@ -517,6 +549,60 @@ def oracle_sql() -> dict[str, str]:
         # Streaming dedup admits each distinct text exactly once.
         "docs_streaming_dedup": """
             SELECT text FROM documents GROUP BY text ORDER BY text
+        """,
+        # Full curation pipeline twin: quality filter -> simhash collapse ->
+        # per-source quota, all recomputed inline.
+        "docs_training_mix": r"""
+            WITH m AS (
+                SELECT doc_id, source, text,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1) AS alpha_ratio,
+                       len(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1) AS digit_ratio
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, source, text FROM m
+                WHERE n_tokens >= 21 AND round(alpha_ratio, 6) >= 0.815
+                  AND round(digit_ratio, 6) <= 0.3
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM kept WHERE trim(text) <> ''
+            ), th AS (
+                SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+            ), bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sigs AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                ELSE 0::UBIGINT END)::UBIGINT AS sig
+                FROM bits GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 0::UBIGINT AS sig
+                FROM kept WHERE trim(text) = ''
+            ), dup AS (
+                SELECT DISTINCT b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+                WHERE (((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+                    OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+                    OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+                    OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+                  AND bit_count(xor(a.sig, b.sig)) <= 10
+            ), survivors AS (
+                SELECT doc_id, source FROM kept
+                WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+            )
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM survivors
+            ) WHERE rn <= 3
         """,
         # Deterministic hash sampling: the md5 selector is SQL-reproducible.
         "docs_sample_10pct": """

@@ -271,6 +271,50 @@ def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_session_assignment(sf_dir: str) -> pd.DataFrame:
+    """Range (point-in-interval) join: assign every event to its session.
+
+    Composition, not a new primitive: per-user session intervals are
+    non-overlapping, so point-in-interval == as-of backward on the interval
+    START plus an end-bound filter — one :func:`asof_join` pass. The oracle
+    recomputes the sessions CTE and does the BETWEEN join directly."""
+    from ..stages.relational import asof_join, sessionize_events_salted
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def point_cols(batch: pd.DataFrame) -> pa.Table:
+        from ..stages.relational import to_arrow
+
+        b = batch.copy()
+        b["ep"] = (b["ts"].astype("datetime64[us]").astype("int64")
+                   // 1_000_000)
+        return to_arrow(b[["event_id", "user_id", "ep"]])
+
+    points = events.map_batches(point_cols, batch_format="pandas")
+    sessions = sessionize_events_salted(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]), 1800
+    ).map_batches(
+        lambda t: t.select(["user_id", "session_start", "session_idx",
+                            "session_end"])
+                   .rename_columns(["user_id", "ep", "session_idx",
+                                    "session_end"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        points, sessions, by="user_id", on="ep",
+        left_cols=["user_id", "ep", "event_id"],
+        right_cols=["user_id", "ep", "session_idx", "session_end"],
+    ).to_pandas()
+    inside = joined[joined["ep"] <= joined["session_end"]]
+    out = pd.DataFrame({
+        "event_id": inside["event_id"].astype("int64"),
+        "user_id": inside["user_id"].astype("int64"),
+        "session_idx": inside["session_idx"].astype("int64"),
+    })
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -769,6 +813,50 @@ def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:
     kept = streaming_exact_dedup(docs, shards).to_pandas()
     texts = sorted(kept["text"].tolist()) if "text" in kept.columns else []
     return pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+
+
+def docs_training_mix(sf_dir: str) -> pd.DataFrame:
+    """The full training-data curation pipeline, composed end to end and
+    oracle-checked as ONE query: quality filter (actor-pool metrics) ->
+    SimHash near-dup collapse (drop each pair's larger id) -> per-source
+    quota (first 3 by doc_id). Every stage streams; the shuffles are the
+    near-dup band groupby and the quota partition groupby. The SQL twin
+    recomputes metrics, signatures, blocking, hamming, NOT IN, and the
+    row_number cap inline."""
+    from ..stages.dedup import drop_near_dup_docs, simhash_near_dup_pairs
+    from ..stages.relational import groupwise_head
+    from ..stages.util import pool_size
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    stats = docs.map_batches(
+        TextStats, batch_format="pandas", batch_size=1024,
+        concurrency=pool_size(2),
+    )
+
+    def keep(batch: pd.DataFrame) -> pa.Table:
+        mask = ((batch["n_tokens"] >= 21)
+                & (batch["alpha_ratio"] >= 0.815)
+                & (batch["digit_ratio"] <= 0.3))
+        out = batch.loc[mask, ["doc_id", "source", "text"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kept = stats.map_batches(keep, batch_format="pandas").materialize()
+    pairs = simhash_near_dup_pairs(
+        kept.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        max_hamming=10,
+    )
+    survivors = drop_near_dup_docs(
+        kept.map_batches(lambda t: t.select(["doc_id", "source"]),
+                         batch_format="pyarrow"),
+        pairs,
+    )
+    quota = groupwise_head(survivors, "source", ["doc_id"], k=3).to_pandas()
+    if quota.empty:
+        quota = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "source": pd.Series(dtype=object)})
+    return quota[["doc_id", "source"]].sort_values("doc_id") \
+        .reset_index(drop=True)
 
 
 def docs_bpe_tokens(sf_dir: str) -> rd.Dataset:
