@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": q.emb_knn_lsh,
         "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
         "emb_knn_ivf": q.emb_knn_ivf,
+        "emb_knn_multi": q.emb_knn_multi,
         "emb_label_stats": q.emb_label_stats,
         "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)
@@ -302,6 +303,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
+        """,
+        # Batched kNN twin: top-10 per query via a window over the cross
+        # product of the 5 query vectors and the corpus.
+        "emb_knn_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+            ORDER BY query_id, cosine DESC, vec_id
         """,
         "emb_label_stats": """
             SELECT label, count(*) AS n,

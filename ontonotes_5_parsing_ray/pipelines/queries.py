@@ -652,6 +652,23 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     return idx_dir
 
 
+def emb_knn_multi(sf_dir: str) -> pd.DataFrame:
+    """Batched exact kNN: the first 5 vectors are the query MATRIX,
+    broadcast once; one corpus pass answers all of them (the realistic
+    many-queries shape — one matmul per batch, blocks x q x k combine)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import knn_bruteforce_multi
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().set_index("vec_id")
+    qm = np.asarray([df.loc[i, "embedding"] for i in range(5)],
+                    dtype=np.float64)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce_multi(emb, qm, k=10)
+
+
 def emb_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """Top-k through the IVF index (distributed k-means coarse quantizer +
     cluster-partitioned corpus): the query probes its 4 nearest of 16

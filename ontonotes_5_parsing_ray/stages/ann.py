@@ -66,6 +66,51 @@ def knn_bruteforce(
     return partials.reset_index(drop=True)
 
 
+def knn_bruteforce_multi(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact top-k for a BATCH of query vectors in one corpus pass: the
+    (q x dim) query matrix is broadcast once (``ray.put``), each batch does
+    ONE numpy matmul against all queries, and per-(batch, query) top-k
+    partials combine on the driver (``blocks x q x k`` rows). Returns
+    ``(query_id, vec_id, cosine)`` with the same round-before-truncate tie
+    handling as the single-query path."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+    n_q = q.shape[0]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        cos = round_half_away((_unit(vecs) @ qm.T).astype(np.float64), 6)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            col = cos[:, qi]
+            order = np.lexsort((ids, -col))[:k]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_cos.append(col[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_cos)),
+        })
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).to_pandas()
+    out = partials.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).groupby("query_id", sort=True).head(k)
+    assert out["query_id"].nunique() <= n_q
+    return out.reset_index(drop=True)
+
+
 class HyperplaneBuckets:
     """Actor-pool stage: embedding -> LSH bucket key (seed-fixed planes)."""
 

@@ -30,7 +30,7 @@ SQL_PAIRED = [
     "docs_source_quota", "docs_simhash_dedup", "events_hopping",
     "docs_sample_10pct", "docs_top_terms", "events_last_purchase",
     "events_median_value", "docs_streaming_dedup",
-    "events_session_assignment", "docs_training_mix",
+    "events_session_assignment", "docs_training_mix", "emb_knn_multi",
 ]
 
 
