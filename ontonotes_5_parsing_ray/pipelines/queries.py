@@ -259,16 +259,24 @@ def events_last_purchase(sf_dir: str) -> pd.DataFrame:
         left_cols=["user_id", "ep", "event_id", "value"],
         right_cols=["user_id", "ep", "pvalue", "pep"],
         right_dedup_max="pvalue",
-    ).to_pandas()
-    out = pd.DataFrame({
-        "event_id": joined["event_id"].astype("int64"),
-        "user_id": joined["user_id"].astype("int64"),
-        "ep": joined["ep"].astype("int64"),
-        "last_purchase_ep": joined["pep"].fillna(-1).astype("int64"),
-        "last_purchase_value": round_half_away(
-            joined["pvalue"].fillna(0.0).to_numpy(), 6),
-    })
-    return out.sort_values("event_id").reset_index(drop=True)
+    )
+
+    def finalize(batch: pd.DataFrame) -> pa.Table:
+        from ..stages.relational import to_arrow
+
+        out = pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            "ep": batch["ep"].astype("int64"),
+            "last_purchase_ep": batch["pep"].fillna(-1).astype("int64"),
+            "last_purchase_value": round_half_away(
+                batch["pvalue"].fillna(0.0).to_numpy(), 6),
+        })
+        return to_arrow(out)
+
+    # per-batch finalize keeps the result a STREAM (O(events) rows must not
+    # land on the driver; the compare harness hashes order-insensitively)
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 def events_session_assignment(sf_dir: str) -> pd.DataFrame:
@@ -305,14 +313,19 @@ def events_session_assignment(sf_dir: str) -> pd.DataFrame:
         points, sessions, by="user_id", on="ep",
         left_cols=["user_id", "ep", "event_id"],
         right_cols=["user_id", "ep", "session_idx", "session_end"],
-    ).to_pandas()
-    inside = joined[joined["ep"] <= joined["session_end"]]
-    out = pd.DataFrame({
-        "event_id": inside["event_id"].astype("int64"),
-        "user_id": inside["user_id"].astype("int64"),
-        "session_idx": inside["session_idx"].astype("int64"),
-    })
-    return out.sort_values("event_id").reset_index(drop=True)
+    )
+
+    def finalize(batch: pd.DataFrame) -> pa.Table:
+        from ..stages.relational import to_arrow
+
+        inside = batch[batch["ep"] <= batch["session_end"]]
+        return to_arrow(pd.DataFrame({
+            "event_id": inside["event_id"].astype("int64"),
+            "user_id": inside["user_id"].astype("int64"),
+            "session_idx": inside["session_idx"].astype("int64"),
+        }))
+
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -753,12 +766,9 @@ def docs_simhash_dedup(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         max_hamming=10,
     )
-    kept = drop_near_dup_docs(docs, pairs).to_pandas()
-    if kept.empty:
-        kept = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "source": pd.Series(dtype=object)})
-    return kept[["doc_id", "source"]].sort_values("doc_id") \
-        .reset_index(drop=True)
+    # result stays a Dataset: survivors are O(corpus) rows
+    return drop_near_dup_docs(docs, pairs).select_columns(
+        ["doc_id", "source"])
 
 
 def events_hopping(sf_dir: str) -> pd.DataFrame:
@@ -827,9 +837,9 @@ def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     shards = create_index(8)
-    kept = streaming_exact_dedup(docs, shards).to_pandas()
-    texts = sorted(kept["text"].tolist()) if "text" in kept.columns else []
-    return pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+    # stays a Dataset (the admitted set is O(distinct texts) — corpus-scale);
+    # the compare harness hashes order-insensitively
+    return streaming_exact_dedup(docs, shards).select_columns(["text"])
 
 
 def docs_training_mix(sf_dir: str) -> pd.DataFrame:
