@@ -110,8 +110,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_pairs_sql(threshold: float = 0.35, num_perm: int = 64,
+                       bands: int = 16) -> str:
+    """EXACT SQL twin of the MinHash near-dup operator, generated with the
+    seeded permutation constants embedded: shingle hash (md5 low-32, the
+    same ``md5_number_upper`` trick as simhash), the (a*x+b) mod p
+    universal-hash minima, band-slice collision blocking, the estimated-
+    similarity screen, and the exact word-shingle Jaccard verify — recall
+    semantics and all."""
+    from ontonotes_5_parsing_ray.functions.hashing import MinHasher
+
+    h = MinHasher(num_perm, base_hash="md5_32")
+    perm_rows = ",".join(
+        f"({i},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(h.a, h.b)))
+    rows_per_band = num_perm // bands
+    band_conds = " OR ".join(
+        f"list_slice(a.sig, {band*rows_per_band+1}, {(band+1)*rows_per_band})"
+        f" = list_slice(b.sig, {band*rows_per_band+1},"
+        f" {(band+1)*rows_per_band})"
+        for band in range(bands))
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks
+            FROM documents WHERE trim(text) <> ''
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(tks) <= 3
+                        THEN [array_to_string(tks, ' ')]
+                        ELSE list_transform(generate_series(1, len(tks) - 2),
+                             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])
+                   END) AS shingles
+            FROM tk
+        ), sh_h AS (
+            SELECT doc_id, md5_number_upper(s.sh) & 4294967295 AS h
+            FROM sh, unnest(sh.shingles) AS s(sh)
+        ), mins AS (
+            SELECT doc_id, p.i AS perm,
+                   min(((p.a * h + p.b) % 2305843009213693951)
+                       & 4294967295) AS mv
+            FROM sh_h CROSS JOIN (VALUES {perm_rows}) p(i, a, b)
+            GROUP BY doc_id, p.i
+        ), sigs AS (
+            SELECT doc_id, list(mv ORDER BY perm) AS sig
+            FROM mins GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sa, b.sig AS sb
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE {band_conds}
+        ), screened AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE len(list_filter(generate_series(1, {num_perm}),
+                                  i -> sa[i] = sb[i])) / {num_perm}.0
+                  >= ({threshold} - 0.25)
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(x.shingles, y.shingles))
+                     / (len(x.shingles) + len(y.shingles)
+                        - len(list_intersect(x.shingles, y.shingles))), 6)
+                   AS jaccard
+        FROM screened c
+        JOIN sh x ON c.doc_a = x.doc_id
+        JOIN sh y ON c.doc_b = y.doc_id
+        WHERE len(list_intersect(x.shingles, y.shingles))
+              / (len(x.shingles) + len(y.shingles)
+                 - len(list_intersect(x.shingles, y.shingles)))
+              >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_minhash_pairs": _minhash_pairs_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -642,7 +714,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token
             LIMIT 20
         """,
-        # docs_fingerprints / docs_minhash_pairs / emb_knn_ivf / kg_* / media_features:
+        # docs_fingerprints / emb_knn_lsh* / emb_knn_ivf / kg_* / media_features:
         # hash-based or model-shaped operators with no faithful ANSI-SQL
         # twin -> rows-only checks; exact correctness covered by tests/
         # (oracle parity, brute-force comparisons).

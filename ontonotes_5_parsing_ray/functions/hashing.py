@@ -82,20 +82,40 @@ class MinHasher:
     ``num_perm`` universal-hash permutations ``(a*x + b) mod p`` with
     parameters drawn once from a seeded RNG — identical across every worker
     and process, which is what makes distributed signatures reproducible.
+
+    ``base_hash`` picks the shingle hash: ``"blake2b"`` (default — entity
+    canonicalization keeps it so canonical clusters are stable across
+    rounds) or ``"md5_32"`` (low 32 bits of :func:`token_hash64_md5` — the
+    document near-dup operators use it so the ENTIRE signature pipeline is
+    reproducible in DuckDB SQL, see ``__ray_entry__.oracle_sql``'s
+    ``docs_minhash_pairs``).
     """
 
-    def __init__(self, num_perm: int = 64, seed: int = 13):
+    MERSENNE = _MERSENNE
+    MAX_HASH = _MAX_HASH
+
+    def __init__(self, num_perm: int = 64, seed: int = 13,
+                 base_hash: str = "blake2b"):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
+        if base_hash not in ("blake2b", "md5_32"):
+            raise ValueError(base_hash)
+        self.base_hash = base_hash
         # a < 2^29 and x < 2^32 keep a*x + b < 2^62: no uint64 overflow, so
         # the (a*x + b) mod p universal-hash family stays exact.
         self.a = rng.randint(1, 1 << 29, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
 
+    def _base(self, shingles: Iterable[str]) -> np.ndarray:
+        if self.base_hash == "md5_32":
+            return np.fromiter(
+                (token_hash64_md5(s) & _MAX_HASH for s in shingles),
+                dtype=np.uint64)
+        return np.fromiter(
+            (stable_hash64(s) & _MAX_HASH for s in shingles), dtype=np.uint64)
+
     def signature(self, shingles: Iterable[str]) -> np.ndarray:
-        base = np.fromiter(
-            (stable_hash64(s) & _MAX_HASH for s in shingles), dtype=np.uint64
-        )
+        base = self._base(shingles)
         if base.size == 0:
             return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
         # (num_perm, n) universal hashes -> row-wise min

@@ -30,6 +30,7 @@ import ray.data as rd
 
 from functools import lru_cache
 
+from ..functions.rounding import round_half_away
 from ..functions.hashing import (
     MinHasher,
     char_shingles,
@@ -278,7 +279,7 @@ class MinHashBands:
     worker."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        self.hasher = MinHasher(num_perm)
+        self.hasher = MinHasher(num_perm, base_hash="md5_32")
         self.bands = bands
         self.k = shingle_k
 
@@ -327,7 +328,11 @@ def minhash_near_dup_pairs(
     """
     import ray
 
-    hasher = MinHasher(num_perm)
+    # md5_32 shingle base: the whole signature pipeline (shingle hash,
+    # permutations, banding) is reproducible in DuckDB, which is what lets
+    # the driver value-hash this operator (entity canonicalization keeps
+    # blake2b — its clusters must stay stable across rounds)
+    hasher = MinHasher(num_perm, base_hash="md5_32")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -389,7 +394,7 @@ def minhash_near_dup_pairs(
                 if jac >= threshold:
                     a_out.append(a)
                     b_out.append(b)
-                    j_out.append(round(jac, 6))
+                    j_out.append(float(round_half_away(jac, 6)))
             return pd.DataFrame({"doc_a": np.asarray(a_out, np.int64),
                                  "doc_b": np.asarray(b_out, np.int64),
                                  "jaccard": np.asarray(j_out, np.float64)})
@@ -428,7 +433,7 @@ def minhash_near_dup_pairs(
             if jac >= threshold:
                 a_out.append(a)
                 b_out.append(b)
-                j_out.append(round(jac, 6))
+                j_out.append(float(round_half_away(jac, 6)))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
 
     return pairs.map_batches(verify, batch_format="pandas")

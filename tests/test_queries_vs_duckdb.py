@@ -31,6 +31,7 @@ SQL_PAIRED = [
     "docs_sample_10pct", "docs_top_terms", "events_last_purchase",
     "events_median_value", "docs_streaming_dedup",
     "events_session_assignment", "docs_training_mix", "emb_knn_multi",
+    "docs_minhash_pairs",
 ]
 
 
@@ -80,7 +81,7 @@ def test_every_query_has_an_oracle_or_rationale():
     rows_only = qs - sqls
     assert all(
         n.startswith(("kg_", "docs_langid", "docs_fingerprints",
-                      "docs_minhash", "docs_simhash", "docs_bpe",
+                      "docs_simhash", "docs_bpe",
                       "media_", "emb_knn_lsh", "emb_knn_ivf", "emb_near_dup"))
         for n in rows_only
     ), rows_only
