@@ -79,7 +79,7 @@ def run_bench() -> dict:
         # round-3 operators (kept AFTER the legacy set so per-query numbers
         # stay comparable across rounds)
         ("events_hopping", q.events_hopping),
-        ("events_last_purchase", q.events_last_purchase),
+        ("events_last_purchase", lambda d: q.events_last_purchase(d).count()),
         ("events_median_value", q.events_median_value),
         ("docs_top_terms", q.docs_top_terms),
         ("docs_source_quota", lambda d: q.docs_source_quota(d).count()),
