@@ -65,8 +65,11 @@ def run_bench() -> dict:
     kg_sec = time.time() - t0
 
     # -- named queries over the sf tables ------------------------------------
+    # (scaling subprocesses skip these: efficiency is computed from the
+    # headline alone, and the query sweep would only add contention)
     query_times = {}
-    for name, fn in [
+    skip_queries = bool(os.environ.get("BENCH_SKIP_QUERIES"))
+    for name, fn in [] if skip_queries else [
         ("q1_pricing_summary", q.q1_pricing_summary),
         ("q3_top_orders", q.q3_top_orders),
         ("q5_nation_revenue", q.q5_nation_revenue),
@@ -123,6 +126,7 @@ def run_scaling() -> dict:
         best = None
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SKIP_QUERIES="1",
                        BENCH_CONVS=os.environ.get("BENCH_CONVS", "20000"))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
