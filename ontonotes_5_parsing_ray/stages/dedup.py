@@ -17,11 +17,21 @@ Five dedup families (SURVEY.md 'Beyond the reference'):
 
 Each returns a Dataset; at scale the only all-to-all is the band/bucket
 groupby whose input was pre-shrunk per batch.
+
+Hot-bucket bounding (the duplicate-heavy-corpus guard): pair enumeration
+never runs over raw bucket members. Exact-duplicate texts are collapsed to
+one representative per bucket FIRST (identical texts share every band key,
+so the collapse is globally consistent and provably output-preserving —
+see :func:`_expand_dup_pairs`), and residual buckets of near-identical but
+distinct texts are capped at ``max_bucket`` representatives with a logged
+drop count. A crawl with 10^6 byte-identical boilerplate pages therefore
+costs one representative, not 5*10^11 candidate pairs.
 """
 
 from __future__ import annotations
 
-from typing import List
+import logging
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -43,12 +53,37 @@ from ..functions.hashing import (
     word_shingles,
 )
 
+logger = logging.getLogger(__name__)
+
 
 @lru_cache(maxsize=65536)
 def _word_shingles_cached(text: str, k: int) -> frozenset:
     """Per-worker memo: a doc lands in every one of its LSH bands, so its
     shingle set would otherwise be recomputed bands-times during verify."""
     return frozenset(word_shingles(text.split(), k))
+
+
+# Second siphash key for the 128-bit exact-text collapse key: two distinct
+# texts collapsing (and thereby being reported as jaccard-1.0 duplicates)
+# requires a simultaneous collision of both 64-bit hashes (~2^-128 per
+# pair) — negligible even at web-crawl pair counts, where a single 64-bit
+# key would start producing a handful of expected collisions.
+_H2_KEY = "8f1d4c0a92b37e65"
+
+
+def _text_hash_cols(texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized (h1, h2) exact-text collapse keys as int64 arrays."""
+    import pandas as pd_mod
+
+    arr = np.asarray(texts, dtype=object)
+    if arr.size == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    h1 = pd_mod.util.hash_array(arr, categorize=False).view(np.int64)
+    h2 = pd_mod.util.hash_array(arr, hash_key=_H2_KEY,
+                                categorize=False).view(np.int64)
+    return h1, h2
+
 
 # Candidate-pair generation: per-bucket pair enumeration. ray.data's
 # map_groups invokes the UDF once per group; with LSH buckets averaging ~2
@@ -58,14 +93,70 @@ def _word_shingles_cached(text: str, k: int) -> frozenset:
 # above it, the distributed groupby path runs — same output, tested equal.
 CANDIDATE_DRIVER_LIMIT = 2_000_000
 
+# Per-bucket representative cap: a residual bucket (distinct texts sharing
+# one band) larger than this enumerates pairs only among its max_bucket
+# smallest representative ids, logging the drop. All-pairs on 4096 reps is
+# ~8.4M candidate rows (~130 MB per task) — the bounded-work ceiling.
+# Sub-splitting a text-LSH bucket by another band key would be a no-op:
+# any pair agreeing on a second band is already a candidate via that
+# band's own bucket, so the only pairs a cap can lose are those agreeing
+# on NOTHING but the hot band — exactly the low-signal tail.
+LSH_MAX_BUCKET = 4096
+
+
+def _bucket_pair_arrays(
+    df: pd.DataFrame,
+    bucket_col: str,
+    id_col: str,
+    collapse_cols: Optional[List[str]],
+    max_bucket: Optional[int],
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized per-bucket pair enumeration over a (bucket, id[, collapse])
+    frame: collapse exact-dup groups to their min id, cap residual buckets,
+    emit triu pairs. Shared by the driver and distributed branches."""
+    if collapse_cols:
+        df = df.groupby([bucket_col] + collapse_cols, as_index=False,
+                        sort=False)[id_col].min()
+    a_chunks: List[np.ndarray] = []
+    b_chunks: List[np.ndarray] = []
+    dropped = 0
+    for _bucket, g in df.groupby(bucket_col, sort=False):
+        ids = np.unique(g[id_col].to_numpy())
+        if max_bucket is not None and len(ids) > max_bucket:
+            dropped += len(ids) - max_bucket
+            ids = ids[:max_bucket]
+        if len(ids) > 1:
+            iu, ju = np.triu_indices(len(ids), 1)
+            a_chunks.append(ids[iu].astype(np.int64))
+            b_chunks.append(ids[ju].astype(np.int64))
+    if dropped:
+        logger.warning(
+            "LSH hot-bucket cap dropped %d representatives beyond "
+            "max_bucket=%d (recall loss limited to pairs sharing ONLY "
+            "capped buckets)", dropped, max_bucket)
+    if not a_chunks:
+        e = np.array([], dtype=np.int64)
+        return e, e, dropped
+    return np.concatenate(a_chunks), np.concatenate(b_chunks), dropped
+
 
 def _candidate_pairs(
     bucket_rows: rd.Dataset,
     bucket_col: str,
     id_col: str,
     driver_limit: int = CANDIDATE_DRIVER_LIMIT,
+    collapse_cols: Optional[List[str]] = None,
+    max_bucket: Optional[int] = LSH_MAX_BUCKET,
 ) -> rd.Dataset:
     """Dedup'd id pairs (a < b) sharing at least one bucket.
+
+    ``collapse_cols`` (e.g. the exact-text hash pair) collapses rows with
+    equal collapse values within a bucket to their min id BEFORE pair
+    enumeration; exact duplicates share every bucket, so the surviving
+    representative is the group's global min id in every bucket — callers
+    restore member pairs exactly via :func:`_expand_dup_pairs`.
+    ``max_bucket`` caps residual (post-collapse) hot buckets with a logged
+    drop count — the bounded-work guard against degenerate bands.
 
     The input is materialized once (it is ids+bucket keys only — never doc
     payloads) and reused by whichever branch runs; the driver branch moves
@@ -73,19 +164,14 @@ def _candidate_pairs(
     bucket_rows = bucket_rows.materialize()
     if bucket_rows.count() <= driver_limit:
         df = bucket_rows.to_pandas()
-        by_bucket: dict = {}
-        for bucket, doc in zip(df[bucket_col].to_numpy(), df[id_col].to_numpy()):
-            by_bucket.setdefault(bucket, []).append(doc)
-        pairs = set()
-        for ids in by_bucket.values():
-            ids = sorted(set(ids))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs.add((int(ids[i]), int(ids[j])))
-        ordered = sorted(pairs)
+        a, b, _ = _bucket_pair_arrays(
+            df, bucket_col, id_col, collapse_cols, max_bucket)
+        if len(a):
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = uniq[:, 0], uniq[:, 1]
         return rd.from_arrow(pa.table({
-            "doc_a": pa.array([a for a, _ in ordered], pa.int64()),
-            "doc_b": pa.array([b for _, b in ordered], pa.int64()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
         }))
 
     P = 64  # bounded groups: buckets hash into P partitions, pairs are
@@ -98,15 +184,10 @@ def _candidate_pairs(
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     def candidates_partition(group: pd.DataFrame) -> pa.Table:
-        a_out, b_out = [], []
-        for _bucket, g in group.groupby(bucket_col, sort=False):
-            ids = sorted(set(g[id_col]))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                         "doc_b": pa.array(b_out, pa.int64())})
+        a, b, _ = _bucket_pair_arrays(
+            group, bucket_col, id_col, collapse_cols, max_bucket)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
 
     from ray.data.aggregate import Count
 
@@ -175,7 +256,11 @@ def _route_candidates(pairs: rd.Dataset, limit: int):
     cand = _distinct_candidate_ids(pairs).materialize()
     if cand.count() <= limit:
         return "broadcast", _ids_set(cand)
-    return "join", cand
+    from .relational import compact_blocks
+
+    # aggregate outputs can lead with an empty block; the join route feeds
+    # cand straight into Dataset.join — compact first (bounded: ids only)
+    return "join", compact_blocks(cand)
 
 
 def _broadcast_candidate_payload(
@@ -197,43 +282,177 @@ def _broadcast_candidate_payload(
     ).to_pandas()
 
 
-def _joined_pair_payload(
-    docs: rd.Dataset,
+def _attach_pair_payload(
     pairs: rd.Dataset,
-    cand_ids: rd.Dataset,
-    payload_fn,
-    columns,
-    payload_cols,
+    payload: rd.Dataset,
+    payload_cols: List[str],
 ) -> rd.Dataset:
-    """Too-big-to-broadcast verify path: attach each pair's two payloads via
-    hash-partitioned joins — the driver never holds candidates.
+    """Too-big-to-broadcast verify path: attach each pair's two payload rows
+    via hash-partitioned joins (pairs ⋈ payload on doc_a, then on doc_b,
+    payload columns suffixed _a/_b) — the driver never holds candidates.
+    ``payload`` must be keyed by ``doc_id`` and is materialized by the
+    caller (it is reused by both joins); every stage streams.
 
-    1. docs ⋈ cand_ids on doc_id (inner) prunes the corpus stream to
-       candidate docs; ``payload_fn`` runs distributed over them.
-    2. pairs ⋈ payload on doc_a, then on doc_b (columns suffixed _a/_b).
+    Both inputs and the intermediate join are compacted
+    (:func:`relational.compact_blocks`): they are bounded (pairs/payload
+    sized) and an empty first block would break the downstream native join
+    (ray 2.49 schema-broadcast gap)."""
+    from .relational import compact_blocks, hash_join
 
-    Three bounded exchanges total; every stage streams."""
-    from .relational import hash_join
-
-    cand_docs = hash_join(docs.select_columns(columns), cand_ids,
-                          on=["doc_id"])
-    payload = cand_docs.map_batches(
-        lambda b: payload_fn(b), batch_format="pandas"
-    ).materialize()  # O(candidates); reused by both joins
-
+    pairs = compact_blocks(pairs)
+    payload = compact_blocks(payload)
     side_a = payload.map_batches(
-        lambda t: t.rename_columns(
+        lambda t: t.select(["doc_id"] + payload_cols).rename_columns(
             ["doc_a"] + [f"{c}_a" for c in payload_cols]),
         batch_format="pyarrow",
     )
     side_b = payload.map_batches(
-        lambda t: t.rename_columns(
+        lambda t: t.select(["doc_id"] + payload_cols).rename_columns(
             ["doc_b"] + [f"{c}_b" for c in payload_cols]),
         batch_format="pyarrow",
     )
-    joined = hash_join(pairs, side_a, on=["doc_a"])
+    joined = compact_blocks(hash_join(pairs, side_a, on=["doc_a"]))
     return hash_join(joined, side_b, on=["doc_b"])
 
+
+def _dup_members(sig_ds: rd.Dataset) -> Optional[rd.Dataset]:
+    """Exact-duplicate membership table: one ``(rep, doc_id)`` row per doc
+    whose (h1, h2) exact-text group has more than one member (the rep — the
+    group's min id — is included as its own member). Returns ``None`` when
+    the corpus has no exact duplicates (the common fast path: one ids-only
+    groupby, nothing else).
+
+    Identical texts produce identical signatures, hence identical band
+    keys: the collapse in :func:`_candidate_pairs` and the expansion in
+    :func:`_expand_dup_pairs` driven by this table are together EXACTLY
+    output-preserving (see the proof sketch on ``_expand_dup_pairs``)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from .relational import compact_blocks, hash_join
+
+    groups = sig_ds.select_columns(["h1", "h2", "doc_id"]).groupby(
+        ["h1", "h2"]
+    ).aggregate(
+        Min("doc_id", alias_name="rep"), Count(alias_name="n")
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 1)).select(
+            ["h1", "h2", "rep"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if groups.count() == 0:
+        return None
+    groups = compact_blocks(groups)  # the filter leaves empty blocks
+    members = hash_join(
+        sig_ds.select_columns(["h1", "h2", "doc_id"]), groups,
+        on=["h1", "h2"],
+    )
+    return members.map_batches(
+        lambda t: t.select(["rep", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+def _expand_dup_pairs(
+    verified: rd.Dataset,
+    members: Optional[rd.Dataset],
+    score_col: str,
+    intra_score,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Expand representative-level verified pairs to member-level pairs —
+    the exact inverse of the collapse in :func:`_candidate_pairs`.
+
+    Why this is exactly the un-collapsed LSH output: candidacy, the
+    signature screen and the exact verify all depend only on the TEXT, and
+    every member of a dup group has the representative's text byte-for-byte.
+    So (a) a member pair across two groups passes iff the rep pair passes,
+    with the identical score, and (b) intra-group pairs always pass —
+    identical texts share every band key (always candidates), estimate 1.0
+    (never screened) and verify at the identity score (jaccard(S,S)=1.0 /
+    hamming 0). Cross pairs come from two hash-partitioned left joins
+    (rep -> members, identity for non-dup reps); intra pairs from a
+    partitioned vectorized triu per group, emitted in bounded chunks. The
+    intra output is inherently quadratic in group size — that IS the
+    operator's defined answer for m byte-identical docs; pipelines that only
+    need survivors should compose with :func:`drop_near_dup_docs` semantics
+    instead of materializing pairs."""
+    from .relational import compact_blocks, hash_join
+
+    if members is None:
+        return verified
+
+    members = compact_blocks(members)
+    verified = compact_blocks(verified)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = partition_vec(
+            batch.column("rep").to_numpy(zero_copy_only=False),
+            num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    score_dtype = (pa.int64() if isinstance(intra_score, (int, np.integer))
+                   else pa.float64())
+
+    def intra_partition(group: pd.DataFrame) -> pa.Table:
+        # one vectorized triu per group; output is C(m, 2) per dup group —
+        # inherent to the operator's defined answer (see docstring). A
+        # partition's groups are emitted as one table (map_groups cannot
+        # stream chunks); ``num_partitions`` bounds how many dup groups
+        # land together, and a single pathological group's quadratic output
+        # is the documented reason to prefer collapse-style consumers.
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _rep, g in group.groupby("rep", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), 1)
+            out_a.append(ids[iu].astype(np.int64))
+            out_b.append(ids[ju].astype(np.int64))
+        a = (np.concatenate(out_a) if out_a else np.array([], np.int64))
+        b = (np.concatenate(out_b) if out_b else np.array([], np.int64))
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            score_col: pa.array(np.full(len(a), intra_score), score_dtype),
+        })
+
+    intra = (
+        members.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(intra_partition, batch_format="pandas")
+    )
+
+    if verified.count() == 0:
+        return intra
+
+    mem_a = members.map_batches(
+        lambda t: t.rename_columns(["doc_a", "member_a"]),
+        batch_format="pyarrow")
+    mem_b = members.map_batches(
+        lambda t: t.rename_columns(["doc_b", "member_b"]),
+        batch_format="pyarrow")
+    j = compact_blocks(
+        hash_join(verified, mem_a, on=["doc_a"], join_type="left_outer"))
+    j = hash_join(j, mem_b, on=["doc_b"], join_type="left_outer")
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        ma = batch["member_a"].fillna(batch["doc_a"]).astype("int64")
+        mb = batch["member_b"].fillna(batch["doc_b"]).astype("int64")
+        a = np.minimum(ma.to_numpy(), mb.to_numpy())
+        b = np.maximum(ma.to_numpy(), mb.to_numpy())
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            score_col: pa.array(
+                batch[score_col].to_numpy().astype(
+                    "int64" if score_dtype == pa.int64() else "float64"),
+                score_dtype),
+        })
+
+    cross = j.map_batches(finish, batch_format="pandas")
+    return cross.union(intra)
 
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
@@ -273,32 +492,6 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-class MinHashBands:
-    """Actor-pool stage: doc -> (band_key, doc_id, sig) rows over word
-    shingles. The hasher's permutations are seed-fixed: identical on every
-    worker."""
-
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        self.hasher = MinHasher(num_perm, base_hash="md5_32")
-        self.bands = bands
-        self.k = shingle_k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_band: List[str] = []
-        out_id: List[int] = []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = self.hasher.signature(word_shingles(text.split(), self.k))
-            for key in self.hasher.band_keys(sig, self.bands):
-                out_band.append(key)
-                out_id.append(doc_id)
-        return pa.table({
-            "band_key": pa.array(out_band, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
-        })
-
-
 def minhash_near_dup_pairs(
     docs: rd.Dataset,
     threshold: float = 0.7,
@@ -306,25 +499,37 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     payload_broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
+    max_bucket: Optional[int] = LSH_MAX_BUCKET,
+    expand_dups: bool = True,
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, exact word-shingle Jaccard >=
     threshold).
 
-    Staging (each pair verified exactly once):
-      1. band rows carry IDS ONLY (no text through the shuffle);
-      2. ``groupby(band_key)`` emits candidate id pairs;
-      3. ``groupby(a, b)`` dedups candidates BEFORE any verification
+    Staging (each pair verified exactly once, signatures computed exactly
+    once per doc):
+      1. one signature pass: (doc_id, exact-text hash pair, minhash sig as
+         fixed-width binary) — materialized, ids+sketch only;
+      2. band rows derive from the stored signature (no shingle recompute);
+         exact-dup texts collapse to one representative per bucket and hot
+         residual buckets cap at ``max_bucket`` (see module docstring);
+      3. ``groupby(band_key)`` emits candidate representative pairs;
+      4. ``groupby(a, b)`` dedups candidates BEFORE any verification
          (the same pair collides in many bands);
-      4. verify per batch: a vectorized minhash-signature screen drops
+      5. verify per batch: a vectorized minhash-signature screen drops
          pairs whose estimated similarity is far below threshold, then
-         exact Jaccard confirms — zero false positives.
+         exact Jaccard confirms — zero false positives;
+      6. verified rep pairs expand back to member pairs
+         (:func:`_expand_dup_pairs` — provably the un-collapsed output).
 
-    Verify payloads (signature + text per CANDIDATE doc, never the corpus)
-    are computed distributed and auto-routed by candidate count: a small set
-    broadcasts to the verify map; a large one is attached to the pairs with
-    hash-partitioned joins (pairs ⋈ payload on doc_a then doc_b) and
-    verified inside join partitions — the driver never materializes
-    candidate texts (both routes produce identical pair sets, tested equal).
+    Verify payloads (stored signature + text per CANDIDATE doc, never the
+    corpus) auto-route by candidate count: a small set broadcasts to the
+    verify map; a large one is attached to the pairs with hash-partitioned
+    joins (pairs ⋈ payload on doc_a then doc_b) and verified inside join
+    partitions — the driver never materializes candidate texts (both routes
+    produce identical pair sets, tested equal). ``expand_dups=False`` skips
+    step 6 and returns representative-level pairs only (dup-group members
+    beyond the rep are then absent from the output — use only when a
+    downstream collapse handles exact dups itself).
     """
     import ray
 
@@ -334,76 +539,118 @@ def minhash_near_dup_pairs(
     # blake2b — its clusters must stay stable across rounds)
     hasher = MinHasher(num_perm, base_hash="md5_32")
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+    def sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out_band, out_id = [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = hasher.signature(word_shingles(text.split(), shingle_k))
-            for key in hasher.band_keys(sig, bands):
-                out_band.append(key)
-                out_id.append(doc_id)
-        return pa.table({
-            "band_key": pa.array(out_band, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
-        })
-
-    pairs = _candidate_pairs(
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow"),
-        "band_key", "doc_id",
-    ).materialize()
-
-    screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
-
-    # Candidate-only payload (signatures + texts), computed distributed.
-    # Signatures travel as fixed-width BINARY (num_perm x 8 bytes): arrow's
-    # hash join rejects list-typed payload columns, and bytes are the
-    # compact wire format anyway.
-    def payload_fn(keep: pd.DataFrame) -> pa.Table:
         sigs = [hasher.signature(word_shingles(t.split(), shingle_k)).tobytes()
-                for t in keep["text"]]
+                for t in texts]
+        h1, h2 = _text_hash_cols(texts)
         return pa.table({
-            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
-            "text": pa.array(keep["text"].tolist(), pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
             "sig": pa.array(sigs, pa.binary()),
         })
 
+    # Signatures once per doc, pinned: banding slices them, the verify
+    # payload joins them back — the round-3 double signature pass is gone.
+    sig_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        sig_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        h1s = batch.column("h1").to_pylist()
+        h2s = batch.column("h2").to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        out_band, out_id, out_h1, out_h2 = [], [], [], []
+        for doc_id, h1, h2, sig in zip(doc_ids, h1s, h2s, sigs):
+            arr = np.frombuffer(sig, dtype=np.uint64)
+            for key in hasher.band_keys(arr, bands):
+                out_band.append(key)
+                out_id.append(doc_id)
+                out_h1.append(h1)
+                out_h2.append(h2)
+        return pa.table({
+            "band_key": pa.array(out_band, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "h1": pa.array(out_h1, pa.int64()),
+            "h2": pa.array(out_h2, pa.int64()),
+        })
+
+    pairs = _candidate_pairs(
+        sig_ds.map_batches(band_rows, batch_format="pyarrow"),
+        "band_key", "doc_id",
+        collapse_cols=["h1", "h2"], max_bucket=max_bucket,
+    ).materialize()
+
+    members = _dup_members(sig_ds) if expand_dups else None
+
+    screen = max(0.0, threshold - 0.25)  # est-similarity slack before exact
+
     route, cand = _route_candidates(pairs, payload_broadcast_limit)
     if route == "join":
-        joined = _joined_pair_payload(
-            docs, pairs, cand, payload_fn,
-            ["doc_id", "text"], ["text", "sig"],
-        )
+        from .relational import hash_join
 
-        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
-            if not len(batch):
-                return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                     "doc_b": pd.Series(dtype="int64"),
-                                     "jaccard": pd.Series(dtype="float64")})
-            sa = np.stack([np.frombuffer(s, np.uint64) for s in batch["sig_a"]])
-            sb = np.stack([np.frombuffer(s, np.uint64) for s in batch["sig_b"]])
-            est = (sa == sb).mean(axis=1)
+        # candidate payload = stored sig (join) + text (join-pruned corpus)
+        cand_texts = hash_join(
+            docs.select_columns(["doc_id", "text"]), cand, on=["doc_id"])
+        payload = hash_join(
+            cand_texts, sig_ds.select_columns(["doc_id", "sig"]),
+            on=["doc_id"],
+        ).materialize()  # O(candidates); reused by both pair joins
+        joined = _attach_pair_payload(pairs, payload, ["text", "sig"])
+
+        def verify_joined(batch: pd.DataFrame) -> pa.Table:
             a_out, b_out, j_out = [], [], []
-            for a, b, ta, tb, e in zip(batch["doc_a"], batch["doc_b"],
-                                       batch["text_a"], batch["text_b"], est):
-                if e < screen:
-                    continue
-                jac = jaccard(_word_shingles_cached(ta, shingle_k),
-                              _word_shingles_cached(tb, shingle_k))
-                if jac >= threshold:
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(float(round_half_away(jac, 6)))
-            return pd.DataFrame({"doc_a": np.asarray(a_out, np.int64),
-                                 "doc_b": np.asarray(b_out, np.int64),
-                                 "jaccard": np.asarray(j_out, np.float64)})
+            if len(batch):
+                sa = np.stack([np.frombuffer(s, np.uint64)
+                               for s in batch["sig_a"]])
+                sb = np.stack([np.frombuffer(s, np.uint64)
+                               for s in batch["sig_b"]])
+                est = (sa == sb).mean(axis=1)
+                for a, b, ta, tb, e in zip(batch["doc_a"], batch["doc_b"],
+                                           batch["text_a"], batch["text_b"],
+                                           est):
+                    if e < screen:
+                        continue
+                    jac = jaccard(_word_shingles_cached(ta, shingle_k),
+                                  _word_shingles_cached(tb, shingle_k))
+                    if jac >= threshold:
+                        a_out.append(a)
+                        b_out.append(b)
+                        j_out.append(float(round_half_away(jac, 6)))
+            return pa.table({
+                "doc_a": pa.array(np.asarray(a_out, np.int64), pa.int64()),
+                "doc_b": pa.array(np.asarray(b_out, np.int64), pa.int64()),
+                "jaccard": pa.array(np.asarray(j_out, np.float64),
+                                    pa.float64()),
+            })
 
-        return joined.map_batches(verify_joined, batch_format="pandas")
+        verified = joined.map_batches(verify_joined, batch_format="pandas")
+        return _expand_dup_pairs(verified, members, "jaccard", 1.0)
 
-    pdf = _broadcast_candidate_payload(
-        docs, cand, payload_fn, ["doc_id", "text"],
+    texts_df = _broadcast_candidate_payload(
+        docs, cand,
+        lambda keep: pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "text": pa.array(keep["text"].tolist(), pa.string()),
+        }),
+        ["doc_id", "text"],
     )
+    sigs_df = _broadcast_candidate_payload(
+        sig_ds, cand,
+        lambda keep: pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "sig": pa.array(keep["sig"].tolist(), pa.binary()),
+        }),
+        ["doc_id", "sig"],
+    )
+    if len(texts_df) and "doc_id" in texts_df.columns:
+        pdf = texts_df.merge(sigs_df, on="doc_id")
+    else:  # zero candidates: to_pandas loses the schema of an empty Dataset
+        pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "text": pd.Series(dtype=object),
+                            "sig": pd.Series(dtype=object)})
     sig_matrix = (np.stack([np.frombuffer(b, np.uint64) for b in pdf["sig"]])
                   if len(pdf) else np.empty((0, num_perm), dtype=np.uint64))
     payload_ref = ray.put({
@@ -412,31 +659,33 @@ def minhash_near_dup_pairs(
         "sigs": sig_matrix,
     })
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pd.DataFrame) -> pa.Table:
         payload = ray.get(payload_ref)
         texts, sig_index, sigs = (
             payload["texts"], payload["sig_index"], payload["sigs"],
         )
-        if not len(batch):
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        ia = np.array([sig_index[d] for d in batch["doc_a"]])
-        ib = np.array([sig_index[d] for d in batch["doc_b"]])
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
         a_out, b_out, j_out = [], [], []
-        for (a, b), e in zip(zip(batch["doc_a"], batch["doc_b"]), est):
-            if e < screen:
-                continue
-            jac = jaccard(_word_shingles_cached(texts[a], shingle_k),
-                          _word_shingles_cached(texts[b], shingle_k))
-            if jac >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(float(round_half_away(jac, 6)))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
+        if len(batch):
+            ia = np.array([sig_index[d] for d in batch["doc_a"]])
+            ib = np.array([sig_index[d] for d in batch["doc_b"]])
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            for (a, b), e in zip(zip(batch["doc_a"], batch["doc_b"]), est):
+                if e < screen:
+                    continue
+                jac = jaccard(_word_shingles_cached(texts[a], shingle_k),
+                              _word_shingles_cached(texts[b], shingle_k))
+                if jac >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(float(round_half_away(jac, 6)))
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a_out, np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(b_out, np.int64), pa.int64()),
+            "jaccard": pa.array(np.asarray(j_out, np.float64), pa.float64()),
+        })
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    verified = pairs.map_batches(verify, batch_format="pandas")
+    return _expand_dup_pairs(verified, members, "jaccard", 1.0)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -454,6 +703,8 @@ def simhash_near_dup_pairs(
     docs: rd.Dataset,
     max_hamming: int = 8,
     payload_broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
+    max_bucket: Optional[int] = LSH_MAX_BUCKET,
+    expand_dups: bool = True,
 ) -> rd.Dataset:
     """SimHash near-dup: bucket by each of four 16-bit signature quarters
     (the standard block trick: any pair with <= 3 differing quarters
@@ -461,71 +712,99 @@ def simhash_near_dup_pairs(
     that, which the SQL oracle mirrors), verify Hamming distance on the
     candidate pairs.
 
-    Signature payloads auto-route like minhash: broadcast below
-    ``payload_broadcast_limit`` candidates, hash-partitioned pairs ⋈
-    signatures joins above it (identical pair sets, tested equal)."""
+    Signatures are computed once per doc and stored; exact-dup texts
+    collapse to one representative before pair enumeration and expand back
+    after verify (hamming 0 — see :func:`_expand_dup_pairs`); residual hot
+    buckets cap at ``max_bucket``. Verify needs signatures only (no text):
+    they auto-route — broadcast below ``payload_broadcast_limit``
+    candidates, hash-partitioned pairs ⋈ signature joins above it
+    (identical pair sets, tested equal)."""
 
     import ray
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_bucket, out_id = [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = simhash64(text.split())
-            for q in range(4):
-                quarter = (sig >> (q * 16)) & 0xFFFF
-                out_bucket.append(f"{q}:{quarter:04x}")
-                out_id.append(doc_id)
+        sigs = [simhash64(t.split()) for t in texts]
+        h1, h2 = _text_hash_cols(texts)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "sig": pa.array(sigs, pa.uint64()),
+        })
+
+    sig_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        sig_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        sigs = batch.column("sig").to_numpy(zero_copy_only=False)
+        n = len(sigs)
+        out_bucket, out_idx = [], []
+        for q in range(4):
+            quarters = (sigs >> np.uint64(q * 16)) & np.uint64(0xFFFF)
+            out_bucket.extend(f"{q}:{int(v):04x}" for v in quarters)
+        idx = np.tile(np.arange(n), 4)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)[idx]
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)[idx]
         return pa.table({
             "bucket": pa.array(out_bucket, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
         })
 
     pairs = _candidate_pairs(
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(sig_rows, batch_format="pyarrow"),
+        sig_ds.map_batches(bucket_rows, batch_format="pyarrow"),
         "bucket", "doc_id",
+        collapse_cols=["h1", "h2"], max_bucket=max_bucket,
     ).materialize()
 
-    # Candidate-only signature payload (16 bytes per candidate — the corpus
-    # text never reaches the driver on either route).
-    def payload_fn(keep: pd.DataFrame) -> pa.Table:
-        return pa.table({
-            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
-            "sig": pa.array([simhash64(t.split()) for t in keep["text"]],
-                            pa.uint64()),
-        })
+    members = _dup_members(sig_ds) if expand_dups else None
 
     route, cand = _route_candidates(pairs, payload_broadcast_limit)
     if route == "join":
-        joined = _joined_pair_payload(
-            docs, pairs, cand, payload_fn, ["doc_id", "text"], ["sig"],
-        )
+        from .relational import hash_join
 
-        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        payload = hash_join(
+            sig_ds.select_columns(["doc_id", "sig"]), cand, on=["doc_id"]
+        ).materialize()
+        joined = _attach_pair_payload(pairs, payload, ["sig"])
+
+        def verify_joined(batch: pd.DataFrame) -> pa.Table:
             if not len(batch):
-                return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                     "doc_b": pd.Series(dtype="int64"),
-                                     "hamming": pd.Series(dtype="int64")})
+                e = np.array([], dtype=np.int64)
+                return pa.table({"doc_a": pa.array(e, pa.int64()),
+                                 "doc_b": pa.array(e, pa.int64()),
+                                 "hamming": pa.array(e, pa.int64())})
             sa = batch["sig_a"].to_numpy(dtype=np.uint64)
             sb = batch["sig_b"].to_numpy(dtype=np.uint64)
             h = _popcount64(np.bitwise_xor(sa, sb))
             keep = h <= max_hamming
-            return pd.DataFrame({
-                "doc_a": batch["doc_a"].to_numpy(dtype=np.int64)[keep],
-                "doc_b": batch["doc_b"].to_numpy(dtype=np.int64)[keep],
-                "hamming": h[keep],
+            return pa.table({
+                "doc_a": pa.array(
+                    batch["doc_a"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "doc_b": pa.array(
+                    batch["doc_b"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "hamming": pa.array(h[keep], pa.int64()),
             })
 
-        return joined.map_batches(verify_joined, batch_format="pandas")
+        verified = joined.map_batches(verify_joined, batch_format="pandas")
+        return _expand_dup_pairs(verified, members, "hamming", 0)
 
     pdf = _broadcast_candidate_payload(
-        docs, cand, payload_fn, ["doc_id", "text"],
+        sig_ds, cand,
+        lambda keep: pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "sig": pa.array([int(s) for s in keep["sig"]], pa.uint64()),
+        }),
+        ["doc_id", "sig"],
     )
-    sig_ref = ray.put({int(d): int(s) for d, s in zip(pdf["doc_id"], pdf["sig"])})
+    sig_ref = ray.put({int(d): int(s) for d, s in zip(pdf.get("doc_id", []),
+                                                      pdf.get("sig", []))})
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pd.DataFrame) -> pa.Table:
         sigs = ray.get(sig_ref)
         a_out, b_out, h_out = [], [], []
         for a, b in zip(batch["doc_a"], batch["doc_b"]):
@@ -534,9 +813,14 @@ def simhash_near_dup_pairs(
                 a_out.append(a)
                 b_out.append(b)
                 h_out.append(h)
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": h_out})
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a_out, np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(b_out, np.int64), pa.int64()),
+            "hamming": pa.array(np.asarray(h_out, np.int64), pa.int64()),
+        })
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    verified = pairs.map_batches(verify, batch_format="pandas")
+    return _expand_dup_pairs(verified, members, "hamming", 0)
 
 
 def embedding_near_dup_pairs(
@@ -644,13 +928,15 @@ def drop_near_dup_docs(
 
     from ray.data.aggregate import Count
 
-    dup_ids = pairs.map_batches(
+    from .relational import compact_blocks
+
+    dup_ids = compact_blocks(pairs.map_batches(
         lambda t: t.select(["doc_b"]), batch_format="pyarrow"
     ).groupby("doc_b").aggregate(Count(alias_name="n")).map_batches(
         lambda t: t.select(["doc_b"]).rename_columns([id_col])
                    .append_column("_dup", pa.array([1] * len(t), pa.int8())),
         batch_format="pyarrow",
-    )
+    ))
     joined = hash_join(docs, dup_ids, on=[id_col], join_type="left_outer")
     return joined.map_batches(
         lambda t: t.filter(pc.is_null(t.column("_dup")))

@@ -140,6 +140,34 @@ def hash_join(
     )
 
 
+def compact_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize and drop 0-row blocks, re-exposing the surviving block
+    refs zero-copy (``from_arrow_refs`` — nothing is rewritten).
+
+    Why: ray 2.49's hash-shuffle join broadcasts input schemas to its
+    aggregators only with the FIRST shuffle task of each side, and
+    ``_shuffle_block`` short-circuits on a 0-row block WITHOUT sending the
+    typed empty shards — so an input whose first block is empty consumes
+    the broadcast while delivering nothing, aggregator partitions that
+    receive no real shard build schema-less tables, and the pyarrow join
+    fails with "No match or multiple matches for key field". Join outputs
+    and groupby/map_groups outputs routinely contain empty blocks, so any
+    BOUNDED dataset that feeds ``Dataset.join`` (pair tables, payloads,
+    membership tables) should pass through here first. Arrow-block
+    datasets only (pandas-block UDF outputs must convert to Arrow at the
+    producer — which shuffle-feeding UDFs must do anyway, see
+    :func:`to_arrow`). Do NOT call on unbounded streams: it materializes.
+    """
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    refs = [blk for bundle in mat.iter_internal_ref_bundles()
+            for blk, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 # Partial-row count above which the final combine runs as a distributed
 # Ray groupby instead of a driver-side pandas groupby. Below it, shipping
 # vocabulary-sized partials to the driver (columnar, via to_pandas — never

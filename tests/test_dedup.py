@@ -242,3 +242,104 @@ def test_drop_near_dup_docs_join_route_equals_broadcast(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert len(via_b) == 97  # 13, 27, 90 dropped (27 once)
     pd.testing.assert_frame_equal(via_b, via_j)
+
+
+def test_minhash_duplicate_heavy_corpus(ray_session):
+    """Round-4 hot-bucket fix: a corpus dominated by byte-identical copies
+    must collapse to one representative before pair enumeration (bounded
+    banding work) and expand back to the exact member-level answer:
+    all intra-group pairs at jaccard 1.0 plus cross pairs inheriting the
+    representative's score."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    n_copies = 300
+    boiler = "this exact boilerplate page body repeats across the crawl again"
+    texts = [boiler] * n_copies
+    texts.append(boiler.replace("again", "anew"))  # near-dup of the group
+    texts.append("a completely different document about unrelated matters")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = minhash_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    # every intra-group pair present at exactly 1.0
+    intra = {(a, b) for a in range(n_copies) for b in range(a + 1, n_copies)}
+    assert intra <= set(got)
+    assert all(got[p] == 1.0 for p in intra)
+    # cross pairs: if (0, near) verified, EVERY copy pairs with near at the
+    # same score (member expansion), and the unrelated doc never appears
+    near = n_copies
+    if (0, near) in got:
+        for a in range(n_copies):
+            assert got[(a, near)] == got[(0, near)]
+    assert not any(len(texts) - 1 in p for p in got)
+
+
+def test_minhash_dup_collapse_bounds_work(ray_session):
+    """10k copies of one document: with expand_dups=False the operator
+    returns representative-level pairs only (zero here — one rep, nothing
+    to pair with) in bounded time, instead of enumerating ~5*10^7
+    candidate pairs."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    n = 10_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["one single boilerplate body shared by all"] * n,
+                         pa.string()),
+    }))
+    out = minhash_near_dup_pairs(ds, threshold=0.5,
+                                 expand_dups=False).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    """Distinct texts engineered into shared bands beyond max_bucket: pair
+    output stays bounded by the cap (C(max_bucket,2) per bucket) instead of
+    going quadratic in bucket size."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import minhash_near_dup_pairs
+
+    # near-identical but distinct docs — they share many band buckets
+    base = "shared template body with common words everywhere " * 3
+    texts = [base + f"tail{i}" for i in range(120)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    capped = minhash_near_dup_pairs(ds, threshold=0.6,
+                                    max_bucket=16).to_pandas()
+    full = minhash_near_dup_pairs(ds, threshold=0.6,
+                                  max_bucket=None).to_pandas()
+    # cap loses only recall, never invents pairs
+    got_capped = set(zip(capped["doc_a"], capped["doc_b"]))
+    got_full = set(zip(full["doc_a"], full["doc_b"]))
+    assert got_capped <= got_full
+    assert len(got_full) > 0
+
+
+def test_simhash_dup_expansion(ray_session):
+    """Exact-dup groups expand through the simhash path at hamming 0."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import simhash_near_dup_pairs
+
+    texts = (["identical body of text repeated verbatim"] * 4
+             + ["unrelated other content entirely different words"])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    intra = {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert set(got) == intra
+    assert all(h == 0 for h in got.values())
