@@ -62,6 +62,10 @@ def run_bench() -> dict:
     out = run_kg_pipeline(tdir, concurrency=max(2, num_cpus - 2))
     n_triples = out["triples"].count()
     n_edges = out["edges"].count()
+    # round-4 protocol change: the node combine is consumed INSIDE the
+    # timed window (rounds 1-3 excluded it — their headlines under-report
+    # the full KG build by the node-combine tail; see BASELINE.md)
+    n_nodes = out["nodes"].count()
     kg_sec = time.time() - t0
 
     # -- named queries over the sf tables ------------------------------------
@@ -103,6 +107,7 @@ def run_bench() -> dict:
         "turns": int(n_turns),
         "triples": int(n_triples),
         "edges": int(n_edges),
+        "nodes": int(n_nodes),
         "turns_per_sec": round(n_turns / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
     }

@@ -433,6 +433,21 @@ def grouped_median(
     return out.reset_index(drop=True)
 
 
+def _hash_canon(col: pd.Series) -> np.ndarray:
+    """Canonical representation of a join key for HASH PARTITIONING only:
+    all numeric dtypes cast to float64 so int64 5 and float64 5.0 land in
+    the same partition (``pd.util.hash_array`` hashes the same value
+    differently across dtypes — mismatched left/right key dtypes would
+    silently drop every match). Distinct huge ints collapsing to one float
+    only co-locates them — partitioning stays correct. The JOIN itself
+    still sees the original values (pandas raises loudly on incompatible
+    merge key dtypes — fail-stop, never silent)."""
+    arr = col.to_numpy()
+    if arr.dtype.kind in "iufb":
+        return arr.astype(np.float64)
+    return arr
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -440,8 +455,9 @@ def asof_join(
     on: str,
     left_cols: List[str],
     right_cols: List[str],
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
     right_dedup_max: Optional[str] = None,
+    salt_bucket: Optional[int] = None,
 ) -> rd.Dataset:
     """Backward as-of join: each left row picks up the LATEST right row with
     ``right.on <= left.on`` for the same ``by`` key (DuckDB ``ASOF LEFT
@@ -451,15 +467,40 @@ def asof_join(
     both sides are tagged and CO-PARTITIONED by ``hash(by) % P`` through one
     union + groupby (every key's rows from both sides land in the same
     bounded partition), and each partition runs ONE vectorized
-    ``pd.merge_asof`` — never a per-key UDF. Partitioning assumption: all
-    rows of one ``by`` key fit a partition; a hotter-than-partition key needs
-    an upstream time-bucket salt (same recipe as ``sessionize_events_salted``).
+    ``pd.merge_asof`` — never a per-key UDF. ``num_partitions`` defaults to
+    the same size-aware derivation as :func:`hash_join` (CPU floor, raised
+    by known input bytes). Partition keys hash through :func:`_hash_canon`
+    so mismatched numeric dtypes across the two sides cannot silently
+    mis-partition.
+
+    Partitioning assumption (default route): all rows of one ``by`` key fit
+    a partition. For a hotter-than-partition key (one user with 10^9
+    events), pass ``salt_bucket`` (seconds of ``on`` per salt bucket): both
+    sides then co-partition by ``hash(by, floor(on/salt_bucket))`` —
+    bounded partitions regardless of key skew — and exactness is restored
+    by a carry-in pass: the latest right row of every (key, bucket) is
+    summarized (one row per non-empty bucket), each left bucket picks its
+    predecessor bucket's summary via one vectorized per-partition
+    ``merge_asof`` over the summaries (rows = keys x non-empty buckets,
+    never events), and that carry row joins the bucket's own right rows in
+    phase B. Output is identical to the unsalted route (tested).
+
     ``left_cols``/``right_cols`` must share ONLY ``by`` and ``on``; value
     columns must be NUMERIC — both sides' value columns ride the union as
     float64 (uniform arrow schema across the tagged union; int values
     round-trip exactly below 2^53 — recast downstream), with NaN padding on
-    the absent side."""
-    from ..functions.hashing import partition_vec
+    the absent side. Right-side (by, on) ties: ``right_dedup_max`` collapses
+    them to the max of that column; without it the tie-break is the largest
+    tuple of value columns (deterministic on both routes)."""
+    from ..functions.hashing import hash64_vec, partition_vec
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = _auto_join_partitions(
+            cpus, _known_size_bytes(left), _known_size_bytes(right))
 
     left_only = [c for c in left_cols if c not in (by, on)]
     right_only = [c for c in right_cols if c not in (by, on)]
@@ -467,6 +508,14 @@ def asof_join(
     if overlap:
         raise ValueError(f"rename overlapping value columns first: {overlap}")
     union_cols = [by, on] + left_only + right_only
+
+    def _part_col(df: pd.DataFrame) -> np.ndarray:
+        if salt_bucket is None:
+            return partition_vec(_hash_canon(df[by]), num_partitions)
+        tb = (df[on].to_numpy().astype(np.int64) // salt_bucket)
+        mixed = (hash64_vec(_hash_canon(df[by]))
+                 ^ (tb.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        return (mixed % np.uint64(num_partitions)).astype(np.int32)
 
     def tag(side: int, present: List[str]):
         def fn(batch: pd.DataFrame) -> pa.Table:
@@ -477,31 +526,131 @@ def asof_join(
                 if c not in (by, on)
             })
             df.insert(0, by, batch[by])
-            df.insert(1, on, batch[on])
+            # the salted route's carry rows arrive as float64 (they pass
+            # through a NaN-padded merge) — ride ``on`` as float64 there so
+            # the union schema is uniform (ints exact below 2^53, same
+            # caveat as the value columns; recast downstream)
+            df.insert(1, on, batch[on].astype("float64")
+                      if salt_bucket is not None else batch[on])
             df["_side"] = np.int8(side)
-            df["part"] = partition_vec(df[by], num_partitions)
+            df["part"] = _part_col(df)
             return to_arrow(df[union_cols + ["_side", "part"]])
         return fn
+
+    def _dedup_right(r: pd.DataFrame) -> pd.DataFrame:
+        if right_dedup_max is not None:
+            # collapse right-side (by, on) ties to the max of one column
+            # INSIDE the partition — saves the caller a whole
+            # pre-aggregation shuffle; merge_asof needs unique match
+            # candidates anyway
+            return r.sort_values([by, on, right_dedup_max],
+                                 kind="mergesort") \
+                    .drop_duplicates([by, on], keep="last")
+        return r
+
+    def merge_partition(group: pd.DataFrame) -> pa.Table:
+        l = group[group["_side"] == 0][[by, on] + left_only] \
+            .sort_values(on, kind="mergesort")
+        r = _dedup_right(group[group["_side"] == 1][[by, on] + right_only])
+        # value columns join the sort key: deterministic pick among
+        # residual (by, on) ties independent of block arrival order
+        r = r.sort_values([on] + right_only, kind="mergesort")
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return to_arrow(out)
 
     tagged = left.map_batches(tag(0, left_cols), batch_format="pandas").union(
         right.map_batches(tag(1, right_cols), batch_format="pandas")
     )
 
-    def merge_partition(group: pd.DataFrame) -> pa.Table:
-        l = group[group["_side"] == 0][[by, on] + left_only] \
-            .sort_values(on, kind="mergesort")
-        r = group[group["_side"] == 1][[by, on] + right_only]
-        if right_dedup_max is not None:
-            # collapse right-side (by, on) ties to the max of one column
-            # INSIDE the partition — saves the caller a whole pre-aggregation
-            # shuffle; merge_asof needs unique match candidates anyway
-            r = r.sort_values([by, on, right_dedup_max], kind="mergesort") \
-                 .drop_duplicates([by, on], keep="last")
-        r = r.sort_values(on, kind="mergesort")
-        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
-        return to_arrow(out)
+    if salt_bucket is None:
+        return tagged.groupby("part").map_groups(
+            merge_partition, batch_format="pandas")
 
-    return tagged.groupby("part").map_groups(
+    # ---- salted route: per-(by, bucket) summaries + carry-in ------------
+    def right_summaries(batch: pd.DataFrame) -> pa.Table:
+        """Per-batch partial: last right row of each (by, bucket)."""
+        b = pd.DataFrame({c: batch[c].astype("float64")
+                          for c in right_only})
+        b.insert(0, by, batch[by])
+        b.insert(1, on, batch[on].astype("float64"))
+        b["tbucket"] = b[on].to_numpy().astype(np.int64) // salt_bucket
+        b = _dedup_right(b)
+        b = b.sort_values([by, "tbucket", on] + right_only,
+                          kind="mergesort") \
+             .drop_duplicates([by, "tbucket"], keep="last")
+        b["_side"] = np.int8(1)
+        b["part"] = partition_vec(_hash_canon(b[by]), num_partitions)
+        return to_arrow(b[[by, "tbucket", on] + right_only
+                          + ["_side", "part"]])
+
+    def left_markers(batch: pd.DataFrame) -> pa.Table:
+        """Per-batch partial: distinct (by, bucket) pairs holding left rows."""
+        b = pd.DataFrame({by: batch[by]})
+        b["tbucket"] = batch[on].to_numpy().astype(np.int64) // salt_bucket
+        b = b.drop_duplicates([by, "tbucket"])
+        for c in [on] + right_only:
+            b[c] = np.nan
+        b["_side"] = np.int8(0)
+        b["part"] = partition_vec(_hash_canon(b[by]), num_partitions)
+        return to_arrow(b[[by, "tbucket", on] + right_only
+                          + ["_side", "part"]])
+
+    def carry_partition(group: pd.DataFrame) -> pa.Table:
+        """Each left bucket picks the latest summary of any EARLIER bucket."""
+        # re-apply the tie collapse across partial batches, then keep the
+        # last row per bucket — same pick the unsalted kernel makes
+        rights = _dedup_right(group[group["_side"] == 1])
+        rights = rights.sort_values([by, "tbucket", on] + right_only,
+                                    kind="mergesort") \
+                       .drop_duplicates([by, "tbucket"], keep="last")
+        markers = group[group["_side"] == 0][[by, "tbucket"]] \
+            .drop_duplicates()
+        if not len(markers) or not len(rights):
+            empty = pd.DataFrame({c: pd.Series(dtype="float64")
+                                  for c in [on] + right_only})
+            empty.insert(0, by, pd.Series(dtype=group[by].dtype))
+            empty.insert(1, "tbucket", pd.Series(dtype="int64"))
+            return to_arrow(empty[[by, "tbucket", on] + right_only])
+        carry = pd.merge_asof(
+            markers.sort_values("tbucket", kind="mergesort"),
+            rights[[by, "tbucket", on] + right_only]
+            .rename(columns={"tbucket": "_rb"})
+            .sort_values("_rb", kind="mergesort"),
+            left_on="tbucket", right_on="_rb", by=by,
+            direction="backward", allow_exact_matches=False,
+        )
+        carry = carry[carry[on].notna()]
+        return to_arrow(carry[[by, "tbucket", on] + right_only])
+
+    summaries = right.map_batches(right_summaries, batch_format="pandas")
+    markers = left.map_batches(left_markers, batch_format="pandas")
+    carry_rows = (
+        summaries.union(markers)
+        .groupby("part")
+        .map_groups(carry_partition, batch_format="pandas")
+    )
+
+    def carry_to_union(batch: pd.DataFrame) -> pa.Table:
+        """Re-shape carry rows as right-side union rows of their TARGET
+        bucket (their ``on`` stays the source row's — strictly before the
+        bucket, so merge_asof ranks them below every in-bucket right)."""
+        df = pd.DataFrame({
+            c: (batch[c].astype("float64") if c in right_only
+                else pd.Series([np.nan] * len(batch), dtype="float64"))
+            for c in union_cols if c not in (by, on)
+        })
+        df.insert(0, by, batch[by])
+        df.insert(1, on, batch[on])
+        df["_side"] = np.int8(1)
+        tb = batch["tbucket"].to_numpy().astype(np.int64)
+        mixed = (hash64_vec(_hash_canon(batch[by]))
+                 ^ (tb.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        df["part"] = (mixed % np.uint64(num_partitions)).astype(np.int32)
+        return to_arrow(df[union_cols + ["_side", "part"]])
+
+    full = tagged.union(
+        carry_rows.map_batches(carry_to_union, batch_format="pandas"))
+    return full.groupby("part").map_groups(
         merge_partition, batch_format="pandas")
 
 

@@ -439,3 +439,87 @@ def test_grouped_median_exact(ray_session):
     out = grouped_median(ds, "k", "v").set_index("k")["median_value"]
     for name, want in expect.items():
         assert abs(out[name] - want) < 1e-12, (name, out[name], want)
+
+
+def test_asof_join_salted_equals_unsalted_hot_key(ray_session):
+    """Round-4 skew fix: one user holds most of the event log (far beyond a
+    partition's fair share). The time-bucket salted route must return the
+    EXACT unsalted answer — including left buckets whose match lives many
+    empty buckets earlier, exact-instant matches on bucket boundaries, and
+    keys with no match at all."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import asof_join
+
+    rng = np.random.RandomState(11)
+    # hot user 7: 5000 left rows over a wide time range; sparse rights
+    hot_l_t = np.sort(rng.randint(0, 1_000_000, size=5000))
+    hot_r_t = np.sort(rng.choice(1_000_000, size=40, replace=False))
+    # a few normal users, incl. one with no right rows
+    cold_uid = np.repeat([1, 2, 3], 50)
+    cold_l_t = rng.randint(0, 1_000_000, size=150)
+    l_uid = np.concatenate([np.full(5000, 7), cold_uid])
+    l_t = np.concatenate([hot_l_t, cold_l_t])
+    r_uid = np.concatenate([np.full(40, 7), np.full(30, 1), np.full(25, 2)])
+    r_t = np.concatenate([hot_r_t, rng.randint(0, 1_000_000, size=55)])
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array(l_uid, pa.int64()),
+        "t": pa.array(l_t, pa.int64()),
+        "lval": pa.array(np.arange(len(l_uid), dtype=np.float64),
+                         pa.float64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array(r_uid, pa.int64()),
+        "t": pa.array(r_t, pa.int64()),
+        "rval": pa.array(rng.rand(len(r_uid)), pa.float64()),
+    }))
+    kw = dict(by="uid", on="t", left_cols=["uid", "t", "lval"],
+              right_cols=["uid", "t", "rval"])
+    plain = asof_join(left, right, **kw).to_pandas()
+    # small salt bucket => hot user spreads over ~100+ partitionable cells
+    salted = asof_join(left, right, salt_bucket=10_000, **kw).to_pandas()
+    for df in (plain, salted):
+        df["t"] = df["t"].astype("int64")
+    plain = plain.sort_values(["uid", "t", "lval"]).reset_index(drop=True)
+    salted = salted.sort_values(["uid", "t", "lval"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+    # and both equal pandas' own merge_asof ground truth
+    ldf = left.to_pandas().sort_values("t", kind="mergesort")
+    rdf = right.to_pandas().sort_values("t", kind="mergesort")
+    truth = pd.merge_asof(ldf, rdf, on="t", by="uid", direction="backward") \
+        .sort_values(["uid", "t", "lval"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        plain[["uid", "t", "lval", "rval"]],
+        truth[["uid", "t", "lval", "rval"]], check_dtype=False)
+
+
+def test_asof_join_mismatched_key_dtypes(ray_session):
+    """ADVICE fix: int64 vs float64 ``by`` columns hash to different
+    partitions under pandas hash_array — the canonical float64 cast must
+    keep equal keys co-partitioned so matches are found, not dropped."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array(list(range(64)), pa.int64()),
+        "t": pa.array([100] * 64, pa.int64()),
+        "lval": pa.array([1.0] * 64, pa.float64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array([float(i) for i in range(64)], pa.float64()),
+        "t": pa.array([50] * 64, pa.int64()),
+        "rval": pa.array([float(i) for i in range(64)], pa.float64()),
+    }))
+    out = asof_join(left, right, by="uid", on="t",
+                    left_cols=["uid", "t", "lval"],
+                    right_cols=["uid", "t", "rval"],
+                    num_partitions=16).to_pandas()
+    # every left row finds its (equal-valued, differently-typed) key match
+    assert out["rval"].notna().all()
+    assert sorted(out["rval"]) == [float(i) for i in range(64)]
