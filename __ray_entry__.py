@@ -181,6 +181,16 @@ def _minhash_pairs_sql(threshold: float = 0.35, num_perm: int = 64,
     """
 
 
+def _media_path() -> str:
+    """Ensure the deterministic media parquet exists (idempotent, atomic)
+    and return its path — called while BUILDING the oracle SQL so the twin
+    works no matter whether the driver runs the Ray query or the SQL
+    first."""
+    from ontonotes_5_parsing_ray.stages.multimodal import media_table_path
+
+    return media_table_path()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_minhash_pairs": _minhash_pairs_sql(),
@@ -714,7 +724,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token
             LIMIT 20
         """,
-        # docs_fingerprints / emb_knn_lsh* / emb_knn_ivf / kg_* / media_features:
+        # Media fake-decode features, recomputed byte-for-byte in SQL over
+        # the SAME persisted parquet the Ray query reads: hex(payload)
+        # yields each byte, the 8-bin histogram ratio matches the
+        # round-half-away fake decode exactly.
+        "media_features": f"""
+            WITH m AS (
+                SELECT media_id, kind, width, height, sample_rate,
+                       duration_ms, hex(payload) AS h,
+                       octet_length(payload) AS n_bytes
+                FROM read_parquet('{_media_path()}')
+            ), bytes AS (
+                SELECT media_id,
+                       (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+                       * 16
+                       + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1
+                           AS byte
+                FROM m, generate_series(1, 2048) AS g(i)
+                WHERE i <= n_bytes
+            ), hist AS (
+                SELECT media_id, byte // 32 AS feature_idx,
+                       count(*)::BIGINT AS n
+                FROM bytes GROUP BY 1, 2
+            ), bins AS (
+                SELECT m.media_id, b.feature_idx
+                FROM m, generate_series(0, 7) AS b(feature_idx)
+            )
+            SELECT m.media_id, m.kind, m.width::BIGINT AS width,
+                   m.height::BIGINT AS height,
+                   m.sample_rate::BIGINT AS sample_rate,
+                   m.duration_ms::BIGINT AS duration_ms,
+                   m.n_bytes::BIGINT AS n_bytes,
+                   bins.feature_idx::BIGINT AS feature_idx,
+                   round(coalesce(hist.n, 0)::DOUBLE / m.n_bytes, 6)
+                       AS feature_value
+            FROM bins
+            JOIN m ON m.media_id = bins.media_id
+            LEFT JOIN hist ON hist.media_id = bins.media_id
+                          AND hist.feature_idx = bins.feature_idx
+        """,
+        # Frame sampling arithmetic (count, timestamps, slice sizes) is pure
+        # integer math over octet_length/duration — fully SQL-checkable.
+        "media_frames": f"""
+            WITH m AS (
+                SELECT media_id, kind, duration_ms,
+                       octet_length(payload) AS len
+                FROM read_parquet('{_media_path()}')
+            ), vid AS (
+                SELECT media_id, len,
+                       greatest(1, least(6,
+                           trunc(duration_ms / 1000.0)::BIGINT)) AS n
+                FROM m WHERE kind = 'video'
+            ), vstep AS (
+                SELECT media_id, len, n,
+                       greatest(1, len // n) AS step
+                FROM vid
+            ), frames AS (
+                SELECT media_id, 'video_frame' AS kind,
+                       f.f::BIGINT AS frame_idx,
+                       (f.f * 1000)::BIGINT AS frame_ms,
+                       greatest(0, least((f.f + 1) * step, len) - f.f * step)
+                           ::BIGINT AS n_bytes
+                FROM vstep, generate_series(0, 7) AS f(f)
+                WHERE f.f < n
+            ), rest AS (
+                SELECT media_id, kind, -1::BIGINT AS frame_idx,
+                       -1::BIGINT AS frame_ms, len::BIGINT AS n_bytes
+                FROM m WHERE kind <> 'video'
+            )
+            SELECT * FROM frames UNION ALL SELECT * FROM rest
+        """,
+        # docs_fingerprints / emb_knn_lsh* / emb_knn_ivf / kg_*:
         # hash-based or model-shaped operators with no faithful ANSI-SQL
         # twin -> rows-only checks; exact correctness covered by tests/
         # (oracle parity, brute-force comparisons).

@@ -97,27 +97,48 @@ def kg_tag_reduce(sf_dir: str) -> pd.DataFrame:
 
 
 def media_frames(sf_dir: str) -> pd.DataFrame:
-    """Frame-sampling stage over the fake media table (flat-map fan-out:
-    one row per sampled video frame; image/audio rows pass through)."""
-    from ..stages.multimodal import sample_frames, synthesize_media_table
+    """Frame-sampling stage over the PERSISTED deterministic media parquet
+    (flat-map fan-out: one row per sampled video frame; image/audio rows
+    pass through). ``n_bytes`` carries each frame slice's real size so the
+    whole result has an exact DuckDB twin over the same parquet
+    (``octet_length`` + ``generate_series`` reproduce the slicing)."""
+    from ..stages.multimodal import media_table_path, sample_frames
 
-    media = rd.from_arrow(synthesize_media_table(n=96))
+    media = rd.read_parquet(media_table_path())
     out = sample_frames(media, fps_out=1.0, max_frames=6).to_pandas()
-    out = out.drop(columns=["frame_bytes"]).assign(
-        n_bytes=[0] * len(out))  # schema-stable, payloads dropped
+    out["n_bytes"] = out["frame_bytes"].map(len).astype("int64")
+    out = out.drop(columns=["frame_bytes"])
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal decode stage over the deterministic fake media table
-    (images resized first — the decode->resize->feature chain)."""
-    from ..stages.multimodal import (
-        decode_media,
-        resize_images,
-        synthesize_media_table,
-    )
+    """Multimodal decode/feature stage over the PERSISTED deterministic
+    media parquet, LONG FORM: one row per (media_id, feature_idx) with the
+    fake-decode histogram value — no list column, so the driver can
+    value-hash it against a DuckDB twin that recomputes the byte histogram
+    from ``hex(payload)`` over the same file. The resize->decode
+    composition and the blake2b payload_crc stay covered by pytest
+    (neither is SQL-expressible)."""
+    import numpy as np
 
-    media = resize_images(rd.from_arrow(synthesize_media_table(n=96)), 64, 64)
-    out = decode_media(media, mode="fake").to_pandas()
-    out["features"] = out["features"].map(lambda f: list(f))
-    return out.sort_values("media_id").reset_index(drop=True)
+    from ..stages.multimodal import decode_media, media_table_path
+
+    media = rd.read_parquet(media_table_path())
+    out = decode_media(media, mode="fake").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    dim = len(out["features"].iloc[0])
+    long = pd.DataFrame({
+        "media_id": np.repeat(out["media_id"].to_numpy(), dim),
+        "kind": np.repeat(out["kind"].to_numpy(), dim),
+        "width": np.repeat(out["width"].to_numpy(), dim).astype("int64"),
+        "height": np.repeat(out["height"].to_numpy(), dim).astype("int64"),
+        "sample_rate": np.repeat(out["sample_rate"].to_numpy(),
+                                 dim).astype("int64"),
+        "duration_ms": np.repeat(out["duration_ms"].to_numpy(),
+                                 dim).astype("int64"),
+        "n_bytes": np.repeat(out["n_bytes"].to_numpy(), dim).astype("int64"),
+        "feature_idx": np.tile(np.arange(dim, dtype=np.int64), len(out)),
+        "feature_value": np.concatenate(
+            [np.asarray(f, dtype=np.float64) for f in out["features"]]),
+    })
+    return long.sort_values(["media_id", "feature_idx"]).reset_index(drop=True)

@@ -30,6 +30,29 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def media_table_path(n: int = 96, seed: int = 23) -> str:
+    """Persist the deterministic synthetic media table as parquet under /tmp
+    (idempotent, atomic) and return the path.
+
+    This is what makes the media queries DRIVER-CHECKABLE: the Ray query
+    reads this parquet and its ``oracle_sql`` twin ``read_parquet``s the
+    same file — both sides see one persisted source instead of an
+    in-process table the oracle cannot reach. Built in a per-process
+    scratch file then ``os.replace``d so concurrent bench/test processes
+    cannot clobber each other's half-written file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/onr_media/media_{n}_{seed}.parquet"
+    if not os.path.isfile(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(synthesize_media_table(n=n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def synthesize_media_table(n: int = 64, seed: int = 23) -> pa.Table:
     """Deterministic fake media table for tests/benchmarks (binary payloads
     from a seeded RNG; no external data)."""
@@ -65,10 +88,14 @@ class DecodeMedia:
         self.dim = feature_dim
 
     def _fake_features(self, payload: bytes) -> List[float]:
+        from ..functions.rounding import round_half_away
+
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
         hist = np.histogram(arr, bins=self.dim, range=(0, 256))[0].astype(np.float64)
         total = hist.sum() or 1.0
-        return list(np.round(hist / total, 6))
+        # half-away rounding = DuckDB round(): the media_features oracle
+        # recomputes these ratios in SQL (np.round is half-even)
+        return list(round_half_away(hist / total, 6))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "strict":
