@@ -181,6 +181,66 @@ def _minhash_pairs_sql(threshold: float = 0.35, num_perm: int = 64,
     """
 
 
+def _fingerprints_sql(window: int = 16, base: int = 257) -> str:
+    """EXACT SQL twin of docs_fingerprints (generated — the modular power
+    constants 257^k mod 2^61-1 are embedded, the same pattern as the
+    minhash permutation constants). All integer math: the polynomial
+    window hash is summed in HUGEINT and reduced mod the Mersenne prime,
+    the winnowing min is a plain MIN, and text_hash / the short-text
+    fallback / simhash are all md5-based (``md5_number_upper``)."""
+    p = (1 << 61) - 1
+    powers = ", ".join(
+        f"({k}, {pow(base, k, p)}::HUGEINT)" for k in range(window))
+    mask62 = (1 << 62) - 1
+    mask32 = (1 << 32) - 1
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ), pw(k, p) AS (VALUES {powers}),
+        win AS (
+            SELECT d.doc_id, g.i,
+                   (sum(ascii(substr(d.text, g.i + {window - 1} - pw.k, 1))
+                        ::HUGEINT * pw.p) % {p})::BIGINT AS h
+            FROM d, generate_series(1, 4096) AS g(i), pw
+            WHERE g.i <= d.n - {window - 1} AND d.n > {window}
+            GROUP BY d.doc_id, g.i
+        ), fp AS (
+            SELECT doc_id, (min(h) & {mask32})::BIGINT AS fingerprint
+            FROM win GROUP BY doc_id
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+        ), th AS (
+            SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+        ), bits AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1
+                            THEN 1 ELSE -1 END) AS acc
+            FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ), sigs AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                            ELSE 0::UBIGINT END)::UBIGINT AS sig
+            FROM bits GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 0::UBIGINT AS sig
+            FROM documents WHERE trim(text) = ''
+        )
+        SELECT d.doc_id,
+               (md5_number_upper(d.text) & {mask62})::BIGINT AS text_hash,
+               CASE WHEN d.n = 0 THEN 0
+                    WHEN d.n <= {window}
+                    THEN (md5_number_upper(d.text) & {mask32})::BIGINT
+                    ELSE fp.fingerprint END AS fingerprint,
+               (s.sig & {mask62})::BIGINT AS simhash
+        FROM d
+        LEFT JOIN fp ON fp.doc_id = d.doc_id
+        JOIN sigs s ON s.doc_id = d.doc_id
+    """
+
+
 def _media_path() -> str:
     """Ensure the deterministic media parquet exists (idempotent, atomic)
     and return its path — called while BUILDING the oracle SQL so the twin
@@ -707,6 +767,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM survivors
             ) WHERE rn <= 3
         """,
+        # Rolling-window fingerprints, exact integer-math twin (generated).
+        "docs_fingerprints": _fingerprints_sql(),
         # Deterministic hash sampling: the md5 selector is SQL-reproducible.
         "docs_sample_10pct": """
             SELECT doc_id, source, lang FROM documents

@@ -166,12 +166,15 @@ def hamming64(a: int, b: int) -> int:
 
 def rolling_fingerprint(text: str, window: int = 16, base: int = 257) -> int:
     """Document fingerprint: min of a polynomial rolling hash over char windows
-    (winnowing-style min-selection, deterministic)."""
+    (winnowing-style min-selection, deterministic). Every branch is
+    SQL-reproducible (see ``__ray_entry__._fingerprints_sql``): the rolling
+    hash is exact integer math mod 2^61-1 and the short-text fallback is
+    the md5-based token hash (``md5_number_upper`` in DuckDB)."""
     n = len(text)
     if n == 0:
         return 0
     if n <= window:
-        return stable_hash64(text) & _MAX_HASH
+        return token_hash64_md5(text) & _MAX_HASH
     mod = _MERSENNE
     power = pow(base, window - 1, mod)
     h = 0

@@ -51,9 +51,18 @@ def add_langid(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def add_fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
-    """Exact-hash + rolling (winnowing-min) fingerprint + simhash columns."""
+    """Exact-hash + rolling (winnowing-min) fingerprint + simhash columns.
+
+    All three hashes are md5-derived (``token_hash64_md5`` /
+    md5-based simhash / the fingerprint's polynomial rolling hash), which
+    is what gives ``docs_fingerprints`` a full DuckDB value-hash twin
+    (``__ray_entry__._fingerprints_sql``) — the same trick that flipped the
+    simhash/minhash operators to full oracles in round 3."""
+    from ..functions.hashing import token_hash64_md5
+
     batch = batch.copy()
-    batch["text_hash"] = [stable_hash64(t) & ((1 << 62) - 1) for t in batch["text"]]
+    batch["text_hash"] = [token_hash64_md5(t) & ((1 << 62) - 1)
+                          for t in batch["text"]]
     batch["fingerprint"] = [rolling_fingerprint(t) for t in batch["text"]]
     batch["simhash"] = [
         simhash64(t.split()) & ((1 << 62) - 1) for t in batch["text"]
