@@ -272,24 +272,34 @@ def link_salted(
                           LINK_PARTITIONS), pa.int32())
         return t.select(BULK_COLUMNS + EXTRA).append_column("part", part)
 
+    def _superset_type(c: str) -> pa.DataType:
+        v = _BULK_EMPTY.get(c, "")
+        if isinstance(v, bool):
+            return pa.bool_()
+        return pa.int64() if isinstance(v, int) else pa.string()
+
     def res_superset(batch: pd.DataFrame) -> pa.Table:
+        # explicit per-column Arrow types: an EMPTY resolution batch must
+        # not degrade to null-typed columns (the union with bulk_superset's
+        # typed schema would fail at runtime on the join route)
         n = len(batch)
         data = {}
         for c in BULK_COLUMNS:
             if c == "row_kind":
-                data[c] = ["resolution"] * n
+                data[c] = pa.array(["resolution"] * n, pa.string())
             elif c in ("conv_id", "surface", "norm", "entity_type"):
-                data[c] = batch[c].to_numpy()
+                data[c] = pa.array(batch[c].astype(str), pa.string())
             elif c == "bucket":
-                data[c] = [-1] * n
+                data[c] = pa.array([-1] * n, pa.int64())
             else:
-                data[c] = [_BULK_EMPTY[c]] * n
-        df = pd.DataFrame(data, columns=BULK_COLUMNS)
-        df["kind"] = batch["kind"].to_numpy()
-        df["key"] = batch["key"].to_numpy()
-        df["chain_id"] = batch["chain_id"].astype("int64").to_numpy()
-        df["part"] = partition_vec(df["conv_id"], LINK_PARTITIONS)
-        return pa.Table.from_pandas(df, preserve_index=False)
+                data[c] = pa.array([_BULK_EMPTY[c]] * n, _superset_type(c))
+        data["kind"] = pa.array(batch["kind"].astype(str), pa.string())
+        data["key"] = pa.array(batch["key"].astype(str), pa.string())
+        data["chain_id"] = pa.array(
+            batch["chain_id"].astype("int64").to_numpy(), pa.int64())
+        data["part"] = pa.array(
+            partition_vec(batch["conv_id"], LINK_PARTITIONS), pa.int32())
+        return pa.table(data)
 
     merged = bulk.map_batches(bulk_superset, batch_format="pyarrow").union(
         resolutions_ds.map_batches(res_superset, batch_format="pandas")

@@ -652,7 +652,9 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
-        tmp_dir = idx_dir + ".build"
+        # per-process scratch: concurrent builders (parallel bench/test
+        # runs on one sf tag) cannot rmtree each other's in-progress build
+        tmp_dir = f"{idx_dir}.build-{os.getpid()}"
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
         build_lsh_index(
@@ -707,7 +709,7 @@ def _ensure_ivf_index(sf_dir: str, n_clusters: int = 16) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/onr_ivf_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
-        tmp_dir = idx_dir + ".build"
+        tmp_dir = f"{idx_dir}.build-{os.getpid()}"  # per-process scratch
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
         build_ivf_index(

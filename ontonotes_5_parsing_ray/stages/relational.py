@@ -305,6 +305,8 @@ def grouped_median(
     value_col: str,
     n_buckets: int = 2048,
     driver_limit: int = 500_000,
+    key_driver_limit: int = 200_000,
+    _force_driver: bool = False,
 ) -> pd.DataFrame:
     """EXACT per-key median of a float column without any sort or shuffle —
     three streaming passes (the iterative histogram-refinement selection):
@@ -314,20 +316,49 @@ def grouped_median(
        partial counts combined by a tiny groupby) locates the bucket(s)
        holding the median rank(s);
     3. a filtered pass collects ONLY the candidate buckets' values
-       (expected n/n_buckets per key) to the driver for the exact pick.
+       (expected n/n_buckets per key) for the exact pick.
 
     Interpolated median (mean of the two middle values for even counts) —
     DuckDB ``median(DOUBLE)`` semantics, which is what the SQL oracle
     checks. Degenerate keys (constant value, single row) shortcut after
-    pass 1. A pathological key putting more than ``driver_limit`` values
-    into one candidate bucket (massive duplicate concentration just beside
-    the median) would need another refinement round — fail-stop rather than
-    OOM."""
-    stats = preagg_groupby(ds, [key_col], {
+    pass 1.
+
+    Control-state routing: at or below ``key_driver_limit`` distinct keys,
+    the per-key spec/target state lives in driver dicts broadcast via
+    ``ray.put`` (report-style key counts — fast, and the ONLY route that
+    never co-locates a key's rows, so it also serves individually-huge
+    keys). Above it nothing key-shaped drives the computation from the
+    driver: rows take ONE key-hash shuffle and each partition computes its
+    keys' exact medians in a vectorized pandas kernel
+    (:func:`_grouped_median_distributed`) — identical output, tested at
+    10^6 keys. Keys too large for a shuffle partition are detected
+    map-side from the partials and offloaded back to the driver-histogram
+    route (there can only be ``total_rows / big_key_limit`` of them). A
+    pathological key putting more than ``driver_limit`` values into one
+    candidate bucket on the histogram route (massive duplicate
+    concentration just beside the median) would need another refinement
+    round — fail-stop rather than OOM."""
+    aggs = {
         "n": (value_col, "count"),
         "mn": (value_col, "min"),
         "mx": (value_col, "max"),
-    })
+    }
+    parts = _partials_ds(
+        ds.select_columns([key_col, value_col]), [key_col], aggs
+    ).materialize()
+    if _force_driver or parts.count() <= PREAGG_DRIVER_LIMIT:
+        stats = _combine_pandas(parts.to_pandas(), [key_col], aggs) \
+            .sort_values(key_col).reset_index(drop=True)
+        if not _force_driver and len(stats) > key_driver_limit:
+            return _grouped_median_distributed(
+                ds, key_col, value_col, n_buckets, parts,
+                driver_limit=driver_limit)
+    else:
+        # partial rows alone exceed the driver budget — high cardinality;
+        # route distributed without paying a combine shuffle just to count
+        return _grouped_median_distributed(
+            ds, key_col, value_col, n_buckets, parts,
+            driver_limit=driver_limit)
     stats = stats.set_index(key_col)
     done: Dict = {}
     spec: Dict = {}
@@ -446,6 +477,100 @@ def _hash_canon(col: pd.Series) -> np.ndarray:
     if arr.dtype.kind in "iufb":
         return arr.astype(np.float64)
     return arr
+
+
+def _grouped_median_distributed(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int,
+    parts: rd.Dataset,
+    num_partitions: int = 64,
+    big_key_limit: int = 2_000_000,
+    driver_limit: int = 500_000,
+) -> pd.DataFrame:
+    """High-cardinality branch of :func:`grouped_median`: NO per-key driver
+    control state. Rows take ONE key-hash shuffle (the repo's established
+    ``hash(key) % P -> map_groups`` pattern) and each partition — which by
+    construction holds ALL rows of its keys — computes exact interpolated
+    medians with one C-speed ``groupby().median()``. At high cardinality
+    per-key row counts are small, so co-locating a key's rows is cheap and
+    strictly better than histogram refinement (whose per-key spec/target
+    state is exactly what must not live anywhere at 10^6+ keys; Ray's
+    native multi-column ``groupby().aggregate`` over key x bucket was also
+    measured pathological — 200s at 10^5 keys).
+
+    Skew guard: a key whose TOTAL row count exceeds ``big_key_limit``
+    would dominate its shuffle partition, so such keys are offloaded to
+    the driver-histogram route (which never co-locates a key and exists
+    for exactly this shape: few keys, huge counts). Detection is map-side
+    only — a key with total n > L must contribute > L/num_blocks partial
+    rows in some block — so nothing key-sized reaches the driver beyond
+    the (bounded, <= total_rows/L) offload set itself."""
+    from ..functions.hashing import partition_vec
+
+    data = ds.select_columns([key_col, value_col])
+    big_out: Optional[pd.DataFrame] = None
+
+    num_blocks = max(1, parts.num_blocks())
+    thresh = max(1.0, big_key_limit / num_blocks)
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("n"), pa.scalar(thresh)))
+
+    cand = parts.map_batches(
+        cand_rows, batch_format="pyarrow").to_pandas()
+    if len(cand):
+        cand_ref = ray.put(set(cand[key_col]))
+
+        def cand_partials(batch: pd.DataFrame) -> pa.Table:
+            ks = ray.get(cand_ref)
+            return to_arrow(batch[batch[key_col].isin(ks)][[key_col, "n"]])
+
+        totals = parts.map_batches(
+            cand_partials, batch_format="pandas"
+        ).to_pandas().groupby(key_col)["n"].sum()
+        big_keys = set(totals[totals > big_key_limit].index)
+        if big_keys:
+            big_ref = ray.put(big_keys)
+
+            def member(keep: bool):
+                def fn(batch: pd.DataFrame) -> pa.Table:
+                    m = batch[key_col].isin(ray.get(big_ref))
+                    return to_arrow(batch[m if keep else ~m])
+                return fn
+
+            big_out = grouped_median(
+                data.map_batches(member(True), batch_format="pandas"),
+                key_col, value_col, n_buckets, driver_limit,
+                _force_driver=True)
+            data = data.map_batches(member(False), batch_format="pandas")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def part_median(g: pd.DataFrame) -> pa.Table:
+        med = g.groupby(key_col, sort=False)[value_col].median()
+        return pa.table({
+            key_col: pa.Array.from_pandas(med.index),
+            "median_value": pa.array(
+                med.to_numpy(dtype=np.float64), pa.float64()),
+        })
+
+    med = (
+        data.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_median, batch_format="pandas")
+        .to_pandas()
+    )
+    if big_out is not None and len(big_out):
+        med = pd.concat([med, big_out], ignore_index=True)
+    return med.sort_values(key_col).reset_index(drop=True)
 
 
 def asof_join(

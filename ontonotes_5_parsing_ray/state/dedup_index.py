@@ -15,16 +15,25 @@ Design:
   cluster (place them across nodes at 100 TB).
 * Ingest tasks batch their probes: ONE ``claim`` RPC per (batch, shard)
   carrying the batch's hashes for that shard — never a call per document.
-* ``claim`` is atomic per shard: the first claimant of a hash wins;
-  concurrent duplicate admissions are impossible because a hash's shard is
-  unique. Which duplicate wins under concurrency is arrival order
-  (nondeterministic); the SET of admitted texts is deterministic.
-* 62-bit hashes keep shard memory at ~8 B/doc + text-hash set overhead;
+* ``claim`` is atomic per shard AND idempotent per claim token: the first
+  claimant of a hash wins and the shard records WHICH token won it, so a
+  Ray task retry (worker death, object-store eviction, lineage
+  reconstruction) that re-presents the same batch under the same token gets
+  the same admit mask back instead of silently losing its documents. Which
+  duplicate wins under concurrency is arrival order (nondeterministic); the
+  SET of admitted texts is deterministic.
+* The filtered result is MATERIALIZED before it is returned, so consuming
+  the returned Dataset twice replays cached blocks instead of re-probing
+  the index. A deliberate second ``streaming_exact_dedup`` call over the
+  same corpus is a new pass (fresh token nonce) and admits nothing new.
+* 62-bit hashes keep shard memory at ~16 B/doc (hash -> winning token);
   the full text is never shipped to the index.
 """
 
 from __future__ import annotations
 
+import hashlib
+import uuid
 from typing import List, Tuple
 
 import numpy as np
@@ -38,28 +47,31 @@ from ..functions.hashing import hash64_vec
 
 @ray.remote
 class DedupShard:
-    """One shard of the shared dedup index: a mutable hash set with atomic
-    first-claimant-wins semantics (actor method calls serialize per actor)."""
+    """One shard of the shared dedup index: a mutable hash->token map with
+    atomic first-claimant-wins semantics (actor method calls serialize per
+    actor). Re-claiming a hash under the token that originally won it
+    returns True again — the idempotency that makes ingest retry-safe."""
 
     def __init__(self) -> None:
-        self._seen: set = set()
+        self._owner: dict = {}
 
-    def claim(self, hashes: List[int]) -> List[bool]:
+    def claim(self, hashes: List[int], token: int) -> List[bool]:
         out = []
-        seen = self._seen
+        owner = self._owner
         for h in hashes:
-            if h in seen:
-                out.append(False)
-            else:
-                seen.add(h)
-                out.append(True)
+            winner = owner.setdefault(h, token)
+            out.append(winner == token)
         return out
 
     def size(self) -> int:
-        return len(self._seen)
+        return len(self._owner)
 
 
 def create_index(num_shards: int = 8) -> List["ray.actor.ActorHandle"]:
+    """A FRESH index per run: the claim-token idempotency scopes retries
+    within one run; reusing shards across logically distinct runs is
+    supported (later passes admit nothing already seen) but admissions
+    always belong to the pass that first claimed them."""
     return [DedupShard.remote() for _ in range(num_shards)]
 
 
@@ -74,25 +86,36 @@ def streaming_exact_dedup(
 ) -> rd.Dataset:
     """Filter ``ds`` to rows whose text is NEW to the shared index, admitting
     them as a side effect. Each batch makes one ``claim`` RPC per shard it
-    touches; the mask is reassembled positionally."""
+    touches (unique hashes only); the mask is reassembled positionally.
+
+    Retry safety: the claim token is ``hash(pass nonce, batch hashes)`` —
+    stable when Ray re-executes the same block within this call, unique
+    across calls — so a retried task re-admits exactly its own documents.
+    The result is materialized before returning: consuming it twice replays
+    cached blocks rather than re-probing the (already mutated) index."""
     num_shards = len(shards)
+    pass_nonce = uuid.uuid4().bytes  # scopes idempotency to THIS call
 
     def fil(batch: pd.DataFrame) -> pa.Table:
         if not len(batch):
             return pa.Table.from_pandas(batch, preserve_index=False)
         hashes = hash64_vec(batch[text_col]) & np.uint64((1 << 62) - 1)
-        shard_of = (hashes % np.uint64(num_shards)).astype(np.int64)
+        # in-batch duplicates: only each hash's FIRST occurrence is a
+        # candidate (unique hashes ship; replayed tokens can't double-admit)
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        token = int.from_bytes(
+            hashlib.blake2b(pass_nonce + hashes.tobytes(),
+                            digest_size=8).digest(), "little")
+        shard_of = (uniq % np.uint64(num_shards)).astype(np.int64)
         keep = np.zeros(len(batch), dtype=bool)
         futures: List[Tuple[np.ndarray, "ray.ObjectRef"]] = []
         for s in np.unique(shard_of):
-            idx = np.nonzero(shard_of == s)[0]
+            sel = np.nonzero(shard_of == s)[0]
             futures.append(
-                (idx, shards[int(s)].claim.remote(
-                    [int(h) for h in hashes[idx]])))
+                (first_idx[sel], shards[int(s)].claim.remote(
+                    [int(h) for h in uniq[sel]], token)))
         for idx, fut in futures:
             keep[idx] = ray.get(fut)
-        # in-batch duplicates: the shard sees the batch's hashes in order,
-        # so only the first occurrence claims — no extra pass needed
         return pa.Table.from_pandas(batch[keep], preserve_index=False)
 
-    return ds.map_batches(fil, batch_format="pandas")
+    return ds.map_batches(fil, batch_format="pandas").materialize()

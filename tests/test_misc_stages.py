@@ -523,3 +523,107 @@ def test_asof_join_mismatched_key_dtypes(ray_session):
     # every left row finds its (equal-valued, differently-typed) key match
     assert out["rval"].notna().all()
     assert sorted(out["rval"]) == [float(i) for i in range(64)]
+
+
+def test_grouped_median_distributed_route_parity(ray_session):
+    """key_driver_limit=0 forces the co-partitioned spec/target route; the
+    result must equal both the driver route and numpy's interpolated
+    median, including degenerate (single-row / constant) keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import grouped_median
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 300, size=20_000)
+    vals = np.round(rng.randn(20_000) * 100, 3)
+    # degenerate keys: one single-row, one constant
+    keys = np.concatenate([keys, [9991, 9992, 9992, 9992]])
+    vals = np.concatenate([vals, [7.5, 3.25, 3.25, 3.25]])
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    }))
+    via_driver = grouped_median(ds, "k", "v")
+    via_dist = grouped_median(ds, "k", "v", key_driver_limit=0)
+    pd.testing.assert_frame_equal(
+        via_driver.reset_index(drop=True), via_dist.reset_index(drop=True))
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"] \
+        .median().reset_index()
+    np.testing.assert_allclose(
+        via_dist["median_value"].to_numpy(), truth["v"].to_numpy(),
+        rtol=0, atol=1e-9)
+
+
+def test_grouped_median_high_cardinality(ray_session):
+    """>=10^6 distinct keys through the distributed route: no driver-side
+    per-key state; spot-parity vs numpy on a sampled key subset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import grouped_median
+
+    n_keys = 1_000_000
+    rng = np.random.RandomState(17)
+    # ~2.2M rows: every key once, a sampled half twice more
+    k_extra = rng.randint(0, n_keys, size=1_200_000)
+    keys = np.concatenate([np.arange(n_keys), k_extra])
+    vals = rng.rand(len(keys)) * 1000
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(16)
+    out = grouped_median(ds, "k", "v", key_driver_limit=200_000)
+    assert len(out) == n_keys
+    got = dict(zip(out["k"], out["median_value"]))
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "v": vals})
+    sample = rng.choice(n_keys, size=200, replace=False)
+    truth = df[df["k"].isin(sample)].groupby("k")["v"].median()
+    for k, t in truth.items():
+        assert abs(got[k] - t) < 1e-9, (k, got[k], t)
+
+
+def test_grouped_median_big_key_offload(ray_session):
+    """Skew guard: a key whose rows exceed big_key_limit is detected
+    map-side and offloaded to the driver-histogram route; output equals
+    numpy for hot and cold keys alike."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        _grouped_median_distributed,
+        _partials_ds,
+        grouped_median,
+    )
+
+    rng = np.random.RandomState(23)
+    hot = np.full(50_000, 7, dtype=np.int64)
+    cold = rng.randint(100, 400, size=30_000)
+    keys = np.concatenate([hot, cold])
+    vals = np.round(rng.rand(len(keys)) * 1000, 4)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(8).materialize()
+    parts = _partials_ds(
+        ds, ["k"], {"n": ("v", "count"),
+                    "mn": ("v", "min"), "mx": ("v", "max")}).materialize()
+    out = _grouped_median_distributed(
+        ds, "k", "v", 2048, parts, big_key_limit=10_000)
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"] \
+        .median().reset_index()
+    assert len(out) == len(truth)
+    np.testing.assert_allclose(
+        out.sort_values("k")["median_value"].to_numpy(),
+        truth["v"].to_numpy(), rtol=0, atol=1e-9)
+    # and the un-forced call (hot key below the default limit) agrees too
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        grouped_median(ds, "k", "v", key_driver_limit=0)
+        .reset_index(drop=True))

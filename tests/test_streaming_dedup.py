@@ -48,3 +48,33 @@ def test_streaming_dedup_matches_batch_exact_dedup(ray_session):
     stream_texts = set(
         streaming_exact_dedup(ds, create_index(8)).to_pandas()["text"])
     assert stream_texts == batch_texts
+
+
+def test_streaming_dedup_double_consumption_and_retry_idempotence(ray_session):
+    """ADVICE r3: consuming the returned Dataset twice must yield the same
+    rows (materialized result), and a replayed claim under the same token
+    (what a Ray task retry presents) must re-admit its own documents."""
+    import ray
+
+    from ontonotes_5_parsing_ray.state.dedup_index import (
+        DedupShard,
+        create_index,
+        streaming_exact_dedup,
+    )
+
+    ds, distinct = _dup_heavy_ds(n=1200, distinct=200)
+    shards = create_index(4)
+    kept_ds = streaming_exact_dedup(ds, shards)
+    first = kept_ds.to_pandas()
+    second = kept_ds.to_pandas()  # re-consumption: cached blocks, no probes
+    assert len(first) == distinct
+    pd.testing.assert_frame_equal(first, second)
+
+    # retry idempotence at the shard level: same (hashes, token) replay
+    shard = DedupShard.remote()
+    mask1 = ray.get(shard.claim.remote([1, 2, 3], 77))
+    mask_retry = ray.get(shard.claim.remote([1, 2, 3], 77))
+    assert mask1 == [True, True, True]
+    assert mask_retry == [True, True, True]
+    # a DIFFERENT pass (new token) over the same hashes admits nothing
+    assert ray.get(shard.claim.remote([1, 2, 3], 78)) == [False] * 3
