@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": q.docs_fingerprints,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
+        "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_source_quota": q.docs_source_quota,
@@ -254,6 +255,35 @@ def _media_path() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_minhash_pairs": _minhash_pairs_sql(),
+        # docs_ngram_jaccard is EXACT (prefix filtering, 100% recall), so
+        # its oracle is the definition itself: brute-force trigram Jaccard
+        "docs_ngram_jaccard": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(tks) <= 3
+                            THEN [array_to_string(tks, ' ')]
+                            ELSE list_transform(
+                                 generate_series(1, len(tks) - 2),
+                                 i -> tks[i] || ' ' || tks[i+1]
+                                      || ' ' || tks[i+2])
+                       END) AS shingles
+                FROM tk
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.shingles, b.shingles))
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -23,7 +23,12 @@ import ray.data as rd
 
 from ..functions.rounding import round_half_away
 from ..stages.ann import knn_bruteforce, label_centroids
-from ..stages.dedup import exact_dedup, minhash_near_dup_pairs, simhash_near_dup_pairs
+from ..stages.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
 from ..stages.relational import (
     broadcast_join,
     broadcast_semi_join,
@@ -372,6 +377,16 @@ def docs_fingerprints(sf_dir: str) -> rd.Dataset:
 def docs_minhash_pairs(sf_dir: str) -> rd.Dataset:
     return minhash_near_dup_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.35
+    )
+
+
+def docs_ngram_jaccard(sf_dir: str) -> rd.Dataset:
+    """EXACT word-trigram Jaccard similarity join (prefix filtering — no
+    sketches, 100% recall): the ground-truth the MinHash/SimHash pair
+    operators approximate, as its own first-class query."""
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5, gram_n=3,
     )
 
 

@@ -943,3 +943,144 @@ def drop_near_dup_docs(
                    .drop_columns(["_dup"]),
         batch_format="pyarrow",
     )
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    gram_n: int = 3,
+    payload_broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
+    max_bucket: Optional[int] = LSH_MAX_BUCKET,
+    expand_dups: bool = True,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b, word
+    n-gram Jaccard >= threshold) — the set-similarity join the LSH
+    families approximate, made scale-safe by PREFIX FILTERING
+    (AllPairs/PPJoin): in a global gram order (the md5 gram hash), two
+    docs with Jaccard >= t MUST share one of each other's first
+    ``n - ceil(t*n) + 1`` grams, so only that prefix is ever indexed —
+    at t=0.5 the inverted-index shuffle carries ~half of each doc's
+    grams, and recall is 100% by construction (no bands, no sketches).
+
+    Staging (mirrors the MinHash/SimHash pair operators):
+      1. one gram pass per doc: sorted distinct md5-64 gram hashes,
+         prefix slice emitted as (gram, doc_id, exact-text hash pair);
+      2. ``_candidate_pairs`` over gram buckets — exact-dup texts
+         collapse to one representative (identical texts share every
+         prefix gram) and degenerate hot grams cap at ``max_bucket``
+         with a logged drop (a cap that never binds below ~4k distinct
+         near-identical texts sharing one rare gram);
+      3. candidates dedup, payloads (texts only) auto-route by count:
+         broadcast below ``payload_broadcast_limit``, hash-partitioned
+         pairs ⋈ text joins above it;
+      4. exact word-shingle Jaccard verify — zero false positives AND
+         zero false negatives (modulo the logged cap);
+      5. verified representative pairs expand back to member pairs.
+
+    Fully SQL-twinnable: gram hash = DuckDB ``md5_number_upper``, the
+    prefix rank = ``row_number() OVER (PARTITION BY doc ORDER BY g)``,
+    verify = ``list_intersect`` Jaccard (see ``__ray_entry__``'s
+    ``docs_ngram_jaccard`` oracle)."""
+    import math
+
+    import ray
+
+    from ..functions.hashing import token_hash64_md5
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        h1, h2 = _text_hash_cols(texts)
+        out_g: List[int] = []
+        out_id: List[int] = []
+        oh1: List[int] = []
+        oh2: List[int] = []
+        for doc_id, t, a, b in zip(doc_ids, texts, h1, h2):
+            grams = word_shingles(t.split(), gram_n)
+            if not grams:
+                continue
+            hs = np.sort(np.fromiter(
+                (token_hash64_md5(g) for g in grams),
+                dtype=np.uint64, count=len(grams)))
+            p = len(hs) - int(math.ceil(threshold * len(hs))) + 1
+            for gv in hs[:p]:
+                out_g.append(int(gv))
+                out_id.append(doc_id)
+                oh1.append(int(a))
+                oh2.append(int(b))
+        return pa.table({
+            "g": pa.array(out_g, pa.uint64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "h1": pa.array(oh1, pa.int64()),
+            "h2": pa.array(oh2, pa.int64()),
+        })
+
+    docs = docs.select_columns(["doc_id", "text"])
+    prefix_ds = docs.map_batches(prefix_rows, batch_format="pyarrow")
+
+    pairs = _candidate_pairs(
+        prefix_ds, "g", "doc_id",
+        collapse_cols=["h1", "h2"], max_bucket=max_bucket,
+    ).materialize()
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        h1, h2 = _text_hash_cols(texts)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+        })
+
+    members = (_dup_members(docs.map_batches(key_rows,
+                                             batch_format="pyarrow"))
+               if expand_dups else None)
+
+    def _verify_frame(batch: pd.DataFrame) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, ta, tb in zip(batch["doc_a"], batch["doc_b"],
+                                batch["text_a"], batch["text_b"]):
+            jac = jaccard(_word_shingles_cached(ta, gram_n),
+                          _word_shingles_cached(tb, gram_n))
+            if jac >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(float(round_half_away(jac, 6)))
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a_out, np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(b_out, np.int64), pa.int64()),
+            "jaccard": pa.array(np.asarray(j_out, np.float64),
+                                pa.float64()),
+        })
+
+    route, cand = _route_candidates(pairs, payload_broadcast_limit)
+    if route == "join":
+        from .relational import hash_join
+
+        payload = hash_join(docs, cand, on=["doc_id"]).materialize()
+        joined = _attach_pair_payload(pairs, payload, ["text"])
+        verified = joined.map_batches(_verify_frame, batch_format="pandas")
+        return _expand_dup_pairs(verified, members, "jaccard", 1.0)
+
+    texts_df = _broadcast_candidate_payload(
+        docs, cand,
+        lambda keep: pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.int64()),
+            "text": pa.array(keep["text"].tolist(), pa.string()),
+        }),
+        ["doc_id", "text"],
+    )
+    payload_ref = ray.put(
+        dict(zip(texts_df["doc_id"], texts_df["text"]))
+        if len(texts_df) and "doc_id" in texts_df.columns else {})
+
+    def verify_broadcast(batch: pd.DataFrame) -> pa.Table:
+        texts = ray.get(payload_ref)
+        if not len(batch):
+            return _verify_frame(batch.assign(text_a=[], text_b=[]))
+        return _verify_frame(batch.assign(
+            text_a=[texts[a] for a in batch["doc_a"]],
+            text_b=[texts[b] for b in batch["doc_b"]]))
+
+    verified = pairs.map_batches(verify_broadcast, batch_format="pandas")
+    return _expand_dup_pairs(verified, members, "jaccard", 1.0)

@@ -343,3 +343,74 @@ def test_simhash_dup_expansion(ray_session):
     intra = {(a, b) for a in range(4) for b in range(a + 1, 4)}
     assert set(got) == intra
     assert all(h == 0 for h in got.values())
+
+
+def _ngram_corpus():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(80):
+        base = " ".join(rng.choice(vocab, size=12))
+        texts.append(base)
+        if i % 4 == 0:  # a near-duplicate: one word changed
+            toks = base.split()
+            toks[5] = "CHANGED"
+            texts.append(" ".join(toks))
+        if i % 7 == 0:  # exact duplicates
+            texts.append(base)
+    return texts
+
+
+def test_ngram_jaccard_exact_vs_brute_force(ray_session):
+    """Prefix filtering is EXACT: the pair set equals brute-force all-pairs
+    Jaccard, including exact-dup expansion and 1.0 scores."""
+    import itertools
+
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.functions.hashing import (
+        jaccard,
+        word_shingles,
+    )
+    from ontonotes_5_parsing_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = _ngram_corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = ngram_jaccard_pairs(ds, threshold=0.5, gram_n=3).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    sh = {i: frozenset(word_shingles(t.split(), 3))
+          for i, t in enumerate(texts)}
+    exp = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = jaccard(sh[a], sh[b])
+        if j >= 0.5:
+            exp[(a, b)] = round(j, 6)
+    assert set(got) == set(exp)
+    for k, j in exp.items():
+        assert abs(got[k] - j) < 1e-9, (k, got[k], j)
+
+
+def test_ngram_jaccard_join_route_equals_broadcast(ray_session):
+    """payload_broadcast_limit=0 forces the hash-partitioned pairs-join
+    verify; the pair set and scores must match the broadcast route."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = _ngram_corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).materialize()
+    bc = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    jn = ngram_jaccard_pairs(ds, threshold=0.5,
+                             payload_broadcast_limit=0).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, jn)
