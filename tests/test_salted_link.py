@@ -112,3 +112,69 @@ def test_salted_copartition_phase_c_equals_broadcast(ray_session,
         batch_format="pyarrow",
     ).to_pandas()
     assert len(berr) == len(cerr)
+
+
+@pytest.fixture(scope="module")
+def adversarial_transcripts(ray_session):
+    """Round-4 adversarial gate fixture: EXTREME skew (a quarter of the
+    conversations at 600 turns — ~38 buckets at bucket_size=16), the
+    generator's tool-role and CJK turns mixed in, and per-turn unique
+    reference tokens so coref chains carry real entropy across bucket
+    boundaries."""
+    from ontonotes_5_parsing_ray.sources.transcripts import generate_transcripts
+
+    return generate_transcripts(
+        "/tmp/onr_transcripts/pytest_adversarial", n_convs=12, seed=77,
+        skew_frac=0.25, skew_turns=600, unique_refs=True,
+    )
+
+
+def test_adversarial_routes_triple_equality(ray_session,
+                                            adversarial_transcripts):
+    """plain link == salted broadcast == salted co-partitioned phase C,
+    triple-for-triple and mention-for-mention, on the adversarial mix."""
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        annotate,
+        link,
+        link_salted,
+        read_transcripts,
+        split_linked,
+    )
+
+    annotated = annotate(
+        read_transcripts(adversarial_transcripts), concurrency=2, emit="link"
+    ).materialize()
+    routes = {
+        "plain": link(annotated).materialize(),
+        "salted": link_salted(annotated, bucket_size=16).materialize(),
+        "copart": link_salted(annotated, bucket_size=16,
+                              resolution_broadcast_limit=0).materialize(),
+    }
+    frames = {}
+    for name, linked in routes.items():
+        m, t = (x.to_pandas() for x in split_linked(linked))
+        frames[name] = (_sorted(m), _sorted(t))
+    for name in ("salted", "copart"):
+        pd.testing.assert_frame_equal(frames["plain"][0], frames[name][0])
+        pd.testing.assert_frame_equal(frames["plain"][1], frames[name][1])
+
+
+def test_adversarial_pr_gate(ray_session, adversarial_transcripts):
+    """P/R == 1.0 vs the single-process oracle through the salted route on
+    the adversarial mix (north_rule gate, hardened)."""
+    from ontonotes_5_parsing_ray.oracle import extract_kg_single_process
+    from ontonotes_5_parsing_ray.oracle.kg import precision_recall, triple_set
+    from ontonotes_5_parsing_ray.pipelines.kg import run_kg_pipeline
+    from ontonotes_5_parsing_ray.sources.transcripts import (
+        build_transcripts_table,
+    )
+
+    out = run_kg_pipeline(adversarial_transcripts, concurrency=2,
+                          salted_bucket_size=16)
+    golden = extract_kg_single_process(build_transcripts_table(
+        n_convs=12, seed=77, skew_frac=0.25, skew_turns=600,
+        unique_refs=True))
+    p, r = precision_recall(
+        triple_set(out["triples"].to_pandas()),
+        triple_set(golden["triples"]))
+    assert p == 1.0 and r == 1.0, (p, r)
