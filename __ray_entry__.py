@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_purchase": q.events_last_purchase,
         "events_session_assignment": q.events_session_assignment,
         "events_median_value": q.events_median_value,
+        "events_value_quantiles": q.events_value_quantiles,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -666,6 +667,18 @@ def oracle_sql() -> dict[str, str]:
         "events_median_value": """
             SELECT event_type,
                    round(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # Generalized exact quantiles (same histogram-refinement machinery,
+        # all five ranks in one candidate pass on the Ray side).
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
             ORDER BY event_type
         """,

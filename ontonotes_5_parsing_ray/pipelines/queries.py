@@ -222,6 +222,24 @@ def events_median_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type interpolated quantiles (p25/p50/p75/p90/p99) via the
+    generalized histogram-refinement selection — one stats pass, one
+    histogram pass, one candidate fetch covers ALL five ranks at once.
+    DuckDB quantile_cont() is the oracle (identical SQL-standard
+    interpolation arithmetic)."""
+    from ..stages.relational import grouped_quantiles
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    names = ["p25", "p50", "p75", "p90", "p99"]
+    out = grouped_quantiles(events, "event_type", "value",
+                            qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                            col_names=names)
+    for c in names:
+        out[c] = round_half_away(out[c].to_numpy(), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

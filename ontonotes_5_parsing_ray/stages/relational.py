@@ -299,45 +299,52 @@ def distributed_topk(
     return topk(parts, by, ascending, k)
 
 
-def grouped_median(
+def grouped_quantiles(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
+    qs: Sequence[float] = (0.5,),
+    col_names: Optional[Sequence[str]] = None,
     n_buckets: int = 2048,
     driver_limit: int = 500_000,
     key_driver_limit: int = 200_000,
     _force_driver: bool = False,
 ) -> pd.DataFrame:
-    """EXACT per-key median of a float column without any sort or shuffle —
-    three streaming passes (the iterative histogram-refinement selection):
+    """EXACT per-key interpolated quantiles of a float column (SQL-standard
+    ``quantile_cont`` semantics: rank h = (n-1)*q, result =
+    (ceil(h)-h)*v[floor(h)] + (h-floor(h))*v[ceil(h)] — what DuckDB and the
+    oracle compute; ``median`` is the qs=(0.5,) special case and
+    :func:`grouped_median` delegates here).
+
+    Small-key route (at or below ``key_driver_limit`` distinct keys): three
+    streaming passes with NO sort or shuffle — the iterative
+    histogram-refinement selection:
 
     1. per-key (count, min, max) via mergeable partials;
     2. per-key fixed-width histogram (one vectorized clip/floor per batch,
        partial counts combined by a tiny groupby) locates the bucket(s)
-       holding the median rank(s);
+       holding every needed rank;
     3. a filtered pass collects ONLY the candidate buckets' values
-       (expected n/n_buckets per key) for the exact pick.
+       (expected n/n_buckets per key) for the exact rank picks.
 
-    Interpolated median (mean of the two middle values for even counts) —
-    DuckDB ``median(DOUBLE)`` semantics, which is what the SQL oracle
-    checks. Degenerate keys (constant value, single row) shortcut after
-    pass 1.
+    This is also the ONLY route that never co-locates a key's rows, so it
+    doubles as the offload target for individually-huge keys. Degenerate
+    keys (constant value, single row) shortcut after pass 1; non-null
+    values assumed (SQL aggregates skip NULLs — filter first).
 
-    Control-state routing: at or below ``key_driver_limit`` distinct keys,
-    the per-key spec/target state lives in driver dicts broadcast via
-    ``ray.put`` (report-style key counts — fast, and the ONLY route that
-    never co-locates a key's rows, so it also serves individually-huge
-    keys). Above it nothing key-shaped drives the computation from the
-    driver: rows take ONE key-hash shuffle and each partition computes its
-    keys' exact medians in a vectorized pandas kernel
-    (:func:`_grouped_median_distributed`) — identical output, tested at
-    10^6 keys. Keys too large for a shuffle partition are detected
-    map-side from the partials and offloaded back to the driver-histogram
-    route (there can only be ``total_rows / big_key_limit`` of them). A
-    pathological key putting more than ``driver_limit`` values into one
-    candidate bucket on the histogram route (massive duplicate
-    concentration just beside the median) would need another refinement
+    High-cardinality route: rows take ONE key-hash shuffle and each
+    partition computes its keys' quantiles with a vectorized sort+gather
+    kernel (:func:`_grouped_quantiles_distributed`); keys larger than the
+    partition budget are detected map-side from the partials and offloaded
+    back here with ``_force_driver``. A pathological key putting more than
+    ``driver_limit`` values into one candidate bucket (massive duplicate
+    concentration beside a target rank) would need another refinement
     round — fail-stop rather than OOM."""
+    qs = [float(q) for q in qs]
+    if col_names is None:
+        col_names = ["q" + format(q, "g").replace(".", "_") for q in qs]
+    col_names = list(col_names)
+    assert len(col_names) == len(qs)
     aggs = {
         "n": (value_col, "count"),
         "mn": (value_col, "min"),
@@ -350,14 +357,14 @@ def grouped_median(
         stats = _combine_pandas(parts.to_pandas(), [key_col], aggs) \
             .sort_values(key_col).reset_index(drop=True)
         if not _force_driver and len(stats) > key_driver_limit:
-            return _grouped_median_distributed(
-                ds, key_col, value_col, n_buckets, parts,
+            return _grouped_quantiles_distributed(
+                ds, key_col, value_col, qs, col_names, n_buckets, parts,
                 driver_limit=driver_limit)
     else:
         # partial rows alone exceed the driver budget — high cardinality;
         # route distributed without paying a combine shuffle just to count
-        return _grouped_median_distributed(
-            ds, key_col, value_col, n_buckets, parts,
+        return _grouped_quantiles_distributed(
+            ds, key_col, value_col, qs, col_names, n_buckets, parts,
             driver_limit=driver_limit)
     stats = stats.set_index(key_col)
     done: Dict = {}
@@ -365,10 +372,12 @@ def grouped_median(
     for key, row in stats.iterrows():
         n, mn, mx = int(row["n"]), float(row["mn"]), float(row["mx"])
         if n == 1 or mn == mx:
-            done[key] = mn
+            done[key] = [mn] * len(qs)
             continue
-        k1, k2 = (n - 1) // 2, n // 2
-        spec[key] = (mn, mx, (mx - mn) / n_buckets, n, k1, k2)
+        ranks = sorted({r for q in qs
+                        for h in ((n - 1) * q,)
+                        for r in (int(np.floor(h)), int(np.ceil(h)))})
+        spec[key] = (mn, mx, (mx - mn) / n_buckets, n, tuple(ranks))
     if spec:
         import ray
 
@@ -381,7 +390,7 @@ def grouped_median(
                 s = sp.get(key)
                 if s is None:
                     continue
-                mn, mx, width, _n, _k1, _k2 = s
+                mn, mx, width, _n, _ranks = s
                 v = g[value_col].to_numpy(dtype=np.float64)
                 b = np.clip(((v - mn) / width).astype(np.int64),
                             0, n_buckets - 1)
@@ -407,9 +416,8 @@ def grouped_median(
             g = g.sort_values("bucket")
             cum = g["cnt"].cumsum().to_numpy()
             buckets = g["bucket"].to_numpy()
-            _mn, _mx, _w, _n, k1, k2 = spec[key]
             want = {}
-            for k in (k1, k2):
+            for k in spec[key][4]:
                 i = int(np.searchsorted(cum, k + 1))
                 before = int(cum[i - 1]) if i else 0
                 want.setdefault(int(buckets[i]), []).append((k, k - before))
@@ -426,7 +434,7 @@ def grouped_median(
                 want = tg.get(key)
                 if not want:
                     continue
-                mn, _mx, width, _n, _k1, _k2 = sp[key]
+                mn, _mx, width, _n, _ranks = sp[key]
                 v = g[value_col].to_numpy(dtype=np.float64)
                 b = np.clip(((v - mn) / width).astype(np.int64),
                             0, n_buckets - 1)
@@ -448,20 +456,48 @@ def grouped_median(
             raise ValueError(
                 f"{len(cand)} candidate values exceed driver_limit="
                 f"{driver_limit}; raise n_buckets (duplicate-heavy key "
-                "near the median)")
+                "near a target rank)")
         for key, want in targets.items():
-            picked = []
+            picked: Dict[int, float] = {}
             kg = cand[cand[key_col] == key]
-            for bucket, ranks in want.items():
+            for bucket, rankpairs in want.items():
                 vals = np.sort(kg.loc[kg["bucket"] == bucket, "v"].to_numpy())
-                for _k, within in ranks:
-                    picked.append(vals[within])
-            done[key] = float(np.mean(picked))
-    out = pd.DataFrame({
-        key_col: sorted(done),
-        "median_value": [done[k] for k in sorted(done)],
-    })
-    return out.reset_index(drop=True)
+                for k, within in rankpairs:
+                    picked[k] = float(vals[within])
+            n = spec[key][3]
+            done[key] = [_interp_rank(picked, (n - 1) * q) for q in qs]
+    keys_sorted = sorted(done)
+    data = {key_col: keys_sorted}
+    for i, c in enumerate(col_names):
+        data[c] = [done[k][i] for k in keys_sorted]
+    return pd.DataFrame(data).reset_index(drop=True)
+
+
+def _interp_rank(picked: Dict[int, float], h: float) -> float:
+    """SQL-standard continuous-quantile interpolation at fractional rank h
+    over exact rank->value picks (same arithmetic as DuckDB quantile_cont:
+    (ceil(h)-h)*v_lo + (h-floor(h))*v_hi; exact rank hits pass through)."""
+    lo, hi = int(np.floor(h)), int(np.ceil(h))
+    if lo == hi:
+        return picked[lo]
+    return (hi - h) * picked[lo] + (h - lo) * picked[hi]
+
+
+def grouped_median(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 2048,
+    driver_limit: int = 500_000,
+    key_driver_limit: int = 200_000,
+) -> pd.DataFrame:
+    """EXACT per-key median — the qs=(0.5,) case of
+    :func:`grouped_quantiles` (interpolated: mean of the two middle values
+    for even counts, DuckDB ``median(DOUBLE)`` semantics)."""
+    return grouped_quantiles(
+        ds, key_col, value_col, qs=(0.5,), col_names=["median_value"],
+        n_buckets=n_buckets, driver_limit=driver_limit,
+        key_driver_limit=key_driver_limit)
 
 
 def _hash_canon(col: pd.Series) -> np.ndarray:
@@ -479,26 +515,31 @@ def _hash_canon(col: pd.Series) -> np.ndarray:
     return arr
 
 
-def _grouped_median_distributed(
+def _grouped_quantiles_distributed(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
+    qs: List[float],
+    col_names: List[str],
     n_buckets: int,
     parts: rd.Dataset,
     num_partitions: int = 64,
     big_key_limit: int = 2_000_000,
     driver_limit: int = 500_000,
 ) -> pd.DataFrame:
-    """High-cardinality branch of :func:`grouped_median`: NO per-key driver
-    control state. Rows take ONE key-hash shuffle (the repo's established
-    ``hash(key) % P -> map_groups`` pattern) and each partition — which by
-    construction holds ALL rows of its keys — computes exact interpolated
-    medians with one C-speed ``groupby().median()``. At high cardinality
-    per-key row counts are small, so co-locating a key's rows is cheap and
-    strictly better than histogram refinement (whose per-key spec/target
-    state is exactly what must not live anywhere at 10^6+ keys; Ray's
-    native multi-column ``groupby().aggregate`` over key x bucket was also
-    measured pathological — 200s at 10^5 keys).
+    """High-cardinality branch of :func:`grouped_quantiles`: NO per-key
+    driver control state. Rows take ONE key-hash shuffle (the repo's
+    established ``hash(key) % P -> map_groups`` pattern) and each
+    partition — which by construction holds ALL rows of its keys —
+    computes exact interpolated quantiles with one vectorized sort+gather
+    kernel (no per-key Python loop; explicit SQL-standard interpolation so
+    the arithmetic matches the driver route and DuckDB bit-for-bit at
+    rounded-6 precision). At high cardinality per-key row counts are
+    small, so co-locating a key's rows is cheap and strictly better than
+    histogram refinement (whose per-key spec/target state is exactly what
+    must not live anywhere at 10^6+ keys; Ray's native multi-column
+    ``groupby().aggregate`` over key x bucket was also measured
+    pathological — 200s at 10^5 keys).
 
     Skew guard: a key whose TOTAL row count exceeds ``big_key_limit``
     would dominate its shuffle partition, so such keys are offloaded to
@@ -542,10 +583,10 @@ def _grouped_median_distributed(
                     return to_arrow(batch[m if keep else ~m])
                 return fn
 
-            big_out = grouped_median(
+            big_out = grouped_quantiles(
                 data.map_batches(member(True), batch_format="pandas"),
-                key_col, value_col, n_buckets, driver_limit,
-                _force_driver=True)
+                key_col, value_col, qs, col_names, n_buckets,
+                driver_limit, _force_driver=True)
             data = data.map_batches(member(False), batch_format="pandas")
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -554,23 +595,50 @@ def _grouped_median_distributed(
             num_partitions)
         return t.append_column("part", pa.array(part, pa.int32()))
 
-    def part_median(g: pd.DataFrame) -> pa.Table:
-        med = g.groupby(key_col, sort=False)[value_col].median()
-        return pa.table({
-            key_col: pa.Array.from_pandas(med.index),
-            "median_value": pa.array(
-                med.to_numpy(dtype=np.float64), pa.float64()),
-        })
+    def part_quantiles(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values([key_col, value_col], kind="mergesort")
+        v = sv[value_col].to_numpy(dtype=np.float64)
+        codes, uniques = pd.factorize(sv[key_col], sort=False)
+        counts = np.bincount(codes, minlength=len(uniques))
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out = {key_col: pa.array(uniques)}
+        for q, cname in zip(qs, col_names):
+            h = (counts - 1) * q
+            lo = np.floor(h).astype(np.int64)
+            hi = np.ceil(h).astype(np.int64)
+            vlo = v[starts + lo]
+            vhi = v[starts + hi]
+            res = np.where(lo == hi, vlo,
+                           (hi - h) * vlo + (h - lo) * vhi)
+            out[cname] = pa.array(res, pa.float64())
+        return pa.table(out)
 
     med = (
         data.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(part_median, batch_format="pandas")
+        .map_groups(part_quantiles, batch_format="pandas")
         .to_pandas()
     )
     if big_out is not None and len(big_out):
         med = pd.concat([med, big_out], ignore_index=True)
     return med.sort_values(key_col).reset_index(drop=True)
+
+
+def _grouped_median_distributed(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int,
+    parts: rd.Dataset,
+    num_partitions: int = 64,
+    big_key_limit: int = 2_000_000,
+    driver_limit: int = 500_000,
+) -> pd.DataFrame:
+    """Median special case of :func:`_grouped_quantiles_distributed`."""
+    return _grouped_quantiles_distributed(
+        ds, key_col, value_col, [0.5], ["median_value"], n_buckets, parts,
+        num_partitions=num_partitions, big_key_limit=big_key_limit,
+        driver_limit=driver_limit)
 
 
 def asof_join(

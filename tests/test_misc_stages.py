@@ -627,3 +627,45 @@ def test_grouped_median_big_key_offload(ray_session):
         out.reset_index(drop=True),
         grouped_median(ds, "k", "v", key_driver_limit=0)
         .reset_index(drop=True))
+
+
+def test_grouped_quantiles_routes_and_numpy_parity(ray_session):
+    """grouped_quantiles (driver histogram route AND forced one-shuffle
+    distributed route) vs numpy linear-interpolation percentiles, plus
+    degenerate keys; median wrapper stays consistent with qs=(0.5,)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        grouped_median,
+        grouped_quantiles,
+    )
+
+    rng = np.random.RandomState(31)
+    keys = rng.randint(0, 40, size=30_000)
+    vals = np.round(rng.randn(30_000) * 50, 3)
+    keys = np.concatenate([keys, [991, 992, 992]])
+    vals = np.concatenate([vals, [5.0, 2.5, 2.5]])
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(6).materialize()
+    qs = (0.1, 0.5, 0.9)
+    names = ["p10", "p50", "p90"]
+    drv = grouped_quantiles(ds, "k", "v", qs=qs, col_names=names)
+    dist = grouped_quantiles(ds, "k", "v", qs=qs, col_names=names,
+                             key_driver_limit=0)
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for q, name in zip(qs, names):
+        truth = df.groupby("k")["v"].quantile(q).sort_index()
+        np.testing.assert_allclose(
+            drv.sort_values("k")[name].to_numpy(), truth.to_numpy(),
+            rtol=0, atol=1e-9)
+    med = grouped_median(ds, "k", "v")
+    np.testing.assert_allclose(
+        med["median_value"].to_numpy(), drv["p50"].to_numpy(),
+        rtol=0, atol=0)
