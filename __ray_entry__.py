@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_assignment": q.events_session_assignment,
         "events_median_value": q.events_median_value,
         "events_value_quantiles": q.events_value_quantiles,
+        "events_user_rolling": q.events_user_rolling,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -681,6 +682,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
             ORDER BY event_type
+        """,
+        # Rolling ROWS-window twin: DuckDB computes the window function
+        # directly; the Ray side shuffles by user hash once and runs a
+        # vectorized per-partition rolling kernel.
+        "events_user_rolling": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                       AS rolling_avg
+            FROM events
+            ORDER BY event_id
         """,
         # Range-join twin: recompute the sessions and join each event into
         # its (disjoint) session interval with BETWEEN.

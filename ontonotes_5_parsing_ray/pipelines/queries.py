@@ -240,6 +240,21 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_user_rolling(sf_dir: str) -> rd.Dataset:
+    """Per-user rolling 5-event mean of value over the (ts, event_id)
+    ordered stream — the ROWS-window aggregate, via one user-hash shuffle
+    and a vectorized per-partition rolling kernel. Oracle = the DuckDB
+    window function itself."""
+    from ..stages.relational import rolling_by_key
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+    return rolling_by_key(
+        events, "user_id", ["ts", "event_id"], "value", window=5,
+        out_col="rolling_avg", keep_cols=["event_id"],
+    )
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

@@ -1085,3 +1085,55 @@ def sessionize_events_salted(
         .groupby("part")
         .map_groups(merge_partition, batch_format="pandas")
     )
+
+
+def rolling_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling_avg",
+    keep_cols: Optional[Sequence[str]] = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key rolling row-window mean over an ordered stream — the
+    ``avg(value) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` window aggregate Ray Data lacks natively.
+
+    One ``hash(key) % P`` shuffle co-locates each key's rows; every
+    partition does ONE sort (key + order columns, so ordering is total and
+    deterministic — pass a unique tie-breaker) and one C-speed pandas
+    ``groupby().rolling().mean()`` — never a UDF call per key. Partitioning
+    assumption: a single key's rows fit one partition (same contract as
+    sessionize; row-windows need per-key contiguity, so a
+    hotter-than-partition key would need range-chunked salting with
+    window-1 rows of boundary overlap — not implemented, fail by memory)."""
+    from ..functions.hashing import partition_vec
+
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols) if keep_cols is not None else [key_col]
+    need = sorted({key_col, value_col, *order_cols, *keep_cols})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values([key_col] + order_cols,
+                           kind="mergesort").reset_index(drop=True)
+        roll = (sv.groupby(key_col, sort=False)[value_col]
+                .rolling(window, min_periods=1).mean()
+                .reset_index(level=0, drop=True).sort_index())
+        out = sv[keep_cols].copy()
+        out[out_col] = round_half_away(roll.to_numpy(np.float64), 6)
+        return to_arrow(out)
+
+    return (
+        ds.select_columns(need)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -669,3 +669,43 @@ def test_grouped_quantiles_routes_and_numpy_parity(ray_session):
     np.testing.assert_allclose(
         med["median_value"].to_numpy(), drv["p50"].to_numpy(),
         rtol=0, atol=0)
+
+
+def test_rolling_by_key_matches_pandas_window(ray_session):
+    """rolling_by_key == pandas groupby.rolling on a stream with duplicate
+    timestamps (the event_id tie-breaker makes ordering total) and a hot
+    key spanning many batches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import rolling_by_key
+
+    rng = np.random.RandomState(41)
+    n = 20_000
+    users = np.where(rng.rand(n) < 0.3, 7, rng.randint(0, 50, size=n))
+    ts = rng.randint(0, 500, size=n).astype("datetime64[s]").astype(
+        "datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "ts": ts,
+        "value": np.round(rng.rand(n) * 100, 3),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    out = rolling_by_key(ds, "user_id", ["ts", "event_id"], "value",
+                         window=5, keep_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    sv = df.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort").reset_index(drop=True)
+    roll = (sv.groupby("user_id", sort=False)["value"]
+            .rolling(5, min_periods=1).mean()
+            .reset_index(level=0, drop=True).sort_index())
+    truth = sv[["event_id"]].assign(rolling_avg=np.round(roll.to_numpy(), 6)) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n
+    np.testing.assert_allclose(out["rolling_avg"].to_numpy(),
+                               truth["rolling_avg"].to_numpy(),
+                               rtol=0, atol=1e-9)
