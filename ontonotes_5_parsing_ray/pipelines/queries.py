@@ -48,6 +48,19 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _read_split(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    """Read + repartition to the CPU budget. The sf test tables are single
+    row-group parquet files — one read block — so any per-doc Python stage
+    fed directly from the read runs as ONE task. Queries whose first stage
+    is doc-loop-heavy (signature passes, shingle hashing) split the block
+    first; the repartition is a sub-second no-op at test scales and real
+    multi-shard inputs at 100 TB arrive pre-blocked (operators themselves
+    never force a repartition on caller datasets)."""
+    from ..stages.util import pool_size
+
+    return _read(sf_dir, table, columns).repartition(pool_size(32, reserve=2))
+
+
 def _read_pdf(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -409,7 +422,7 @@ def docs_fingerprints(sf_dir: str) -> rd.Dataset:
 
 def docs_minhash_pairs(sf_dir: str) -> rd.Dataset:
     return minhash_near_dup_pairs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.35
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.35
     )
 
 
@@ -418,14 +431,14 @@ def docs_ngram_jaccard(sf_dir: str) -> rd.Dataset:
     sketches, 100% recall): the ground-truth the MinHash/SimHash pair
     operators approximate, as its own first-class query."""
     return ngram_jaccard_pairs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
         threshold=0.5, gram_n=3,
     )
 
 
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10
     )
 
 

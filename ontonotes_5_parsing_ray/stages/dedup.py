@@ -213,6 +213,11 @@ def _candidate_pairs(
 # inside the join partitions.
 PAYLOAD_BROADCAST_LIMIT = 200_000
 
+# Driver-built intra-group pair budget for the dup-expansion broadcast fast
+# path: sum of C(m, 2) over dup groups must stay under this or the
+# partitioned (distributed-triu) route runs instead.
+INTRA_DRIVER_LIMIT = 5_000_000
+
 
 def _distinct_candidate_ids(pairs: rd.Dataset) -> rd.Dataset:
     """Distinct doc ids appearing in any candidate pair, as a Dataset
@@ -325,12 +330,19 @@ def _dup_members(sig_ds: rd.Dataset) -> Optional[rd.Dataset]:
     Identical texts produce identical signatures, hence identical band
     keys: the collapse in :func:`_candidate_pairs` and the expansion in
     :func:`_expand_dup_pairs` driven by this table are together EXACTLY
-    output-preserving (see the proof sketch on ``_expand_dup_pairs``)."""
+    output-preserving (see the proof sketch on ``_expand_dup_pairs``).
+
+    Routing: the (already-aggregated, dup-groups-only) group table
+    broadcasts as one pandas merge inside ``map_batches`` when it is small
+    — a distributed hash join here costs aggregator-actor startup that
+    dwarfs the data at report scales; above the limit the join route
+    takes over unchanged."""
+    import ray
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Min
 
-    from .relational import compact_blocks, hash_join
+    from .relational import compact_blocks, hash_join, to_arrow
 
     groups = sig_ds.select_columns(["h1", "h2", "doc_id"]).groupby(
         ["h1", "h2"]
@@ -343,6 +355,15 @@ def _dup_members(sig_ds: rd.Dataset) -> Optional[rd.Dataset]:
     ).materialize()
     if groups.count() == 0:
         return None
+    if groups.count() <= PAYLOAD_BROADCAST_LIMIT:
+        gdf_ref = ray.put(groups.to_pandas())
+
+        def attach(batch: pd.DataFrame) -> pa.Table:
+            j = batch.merge(ray.get(gdf_ref), on=["h1", "h2"], how="inner")
+            return to_arrow(j[["rep", "doc_id"]])
+
+        return sig_ds.select_columns(["h1", "h2", "doc_id"]).map_batches(
+            attach, batch_format="pandas")
     groups = compact_blocks(groups)  # the filter leaves empty blocks
     members = hash_join(
         sig_ds.select_columns(["h1", "h2", "doc_id"]), groups,
@@ -351,6 +372,62 @@ def _dup_members(sig_ds: rd.Dataset) -> Optional[rd.Dataset]:
     return members.map_batches(
         lambda t: t.select(["rep", "doc_id"]), batch_format="pyarrow"
     )
+
+
+def _expand_dup_pairs_broadcast(
+    verified: rd.Dataset,
+    mdf: pd.DataFrame,
+    score_col: str,
+    intra_score,
+    score_dtype: pa.DataType,
+) -> rd.Dataset:
+    """Small-membership route of :func:`_expand_dup_pairs`: intra-group
+    pairs are one driver-side vectorized triu (bounded by the caller's
+    exact C(m,2) budget check), cross pairs come from two broadcast pandas
+    merges inside a single ``map_batches`` over the verified pairs — zero
+    shuffles, identical output to the join route."""
+    import ray
+
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    for _rep, g in mdf.groupby("rep", sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        iu, ju = np.triu_indices(len(ids), 1)
+        out_a.append(ids[iu].astype(np.int64))
+        out_b.append(ids[ju].astype(np.int64))
+    a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+    intra = rd.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64()),
+        score_col: pa.array(np.full(len(a), intra_score), score_dtype),
+    }))
+    if verified.count() == 0:
+        return intra
+    sides_ref = ray.put((
+        mdf.rename(columns={"rep": "doc_a", "doc_id": "member_a"}),
+        mdf.rename(columns={"rep": "doc_b", "doc_id": "member_b"}),
+    ))
+
+    def expand(batch: pd.DataFrame) -> pa.Table:
+        ma, mb = ray.get(sides_ref)
+        j = batch.merge(ma, on="doc_a", how="left") \
+                 .merge(mb, on="doc_b", how="left")
+        mav = j["member_a"].fillna(j["doc_a"]).astype("int64").to_numpy()
+        mbv = j["member_b"].fillna(j["doc_b"]).astype("int64").to_numpy()
+        return pa.table({
+            "doc_a": pa.array(np.minimum(mav, mbv), pa.int64()),
+            "doc_b": pa.array(np.maximum(mav, mbv), pa.int64()),
+            score_col: pa.array(
+                j[score_col].to_numpy().astype(
+                    "int64" if score_dtype == pa.int64() else "float64"),
+                score_dtype),
+        })
+
+    cross = verified.map_batches(expand, batch_format="pandas")
+    return cross.union(intra)
 
 
 def _expand_dup_pairs(
@@ -385,14 +462,25 @@ def _expand_dup_pairs(
     members = compact_blocks(members)
     verified = compact_blocks(verified)
 
+    score_dtype = (pa.int64() if isinstance(intra_score, (int, np.integer))
+                   else pa.float64())
+
+    # Broadcast fast path: a small membership table expands through ONE
+    # pandas merge per batch (and a driver-built intra table, bounded by
+    # the exact pair-count check) — the two hash-partitioned joins below
+    # cost aggregator-actor startup that dwarfs report-scale data.
+    if members.count() <= PAYLOAD_BROADCAST_LIMIT:
+        mdf = members.to_pandas()
+        sizes = mdf.groupby("rep", sort=False)["doc_id"].size().to_numpy()
+        if int((sizes * (sizes - 1) // 2).sum()) <= INTRA_DRIVER_LIMIT:
+            return _expand_dup_pairs_broadcast(
+                verified, mdf, score_col, intra_score, score_dtype)
+
     def add_part(batch: pa.Table) -> pa.Table:
         parts = partition_vec(
             batch.column("rep").to_numpy(zero_copy_only=False),
             num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
-
-    score_dtype = (pa.int64() if isinstance(intra_score, (int, np.integer))
-                   else pa.float64())
 
     def intra_partition(group: pd.DataFrame) -> pa.Table:
         # one vectorized triu per group; output is C(m, 2) per dup group —
