@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
+        "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
         "docs_source_quota": q.docs_source_quota,
@@ -285,6 +286,44 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # Connected components over the exact pair graph: recursive
+        # min-label walk (a label propagates along edges while smaller than
+        # the target id); min over reached labels = component min id.
+        "docs_dup_clusters": """
+            WITH RECURSIVE tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(tks) <= 3
+                            THEN [array_to_string(tks, ' ')]
+                            ELSE list_transform(
+                                 generate_series(1, len(tks) - 2),
+                                 i -> tks[i] || ' ' || tks[i+1]
+                                      || ' ' || tks[i+2])
+                       END) AS shingles
+                FROM tk
+            ), p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.shingles, b.shingles))
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)))
+                      >= 0.5
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p
+            ), walk(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.u, w.lbl
+                FROM walk w JOIN edges e ON e.v = w.doc_id
+                WHERE w.lbl < e.u
+            )
+            SELECT doc_id, min(lbl) AS cluster_id
+            FROM walk GROUP BY doc_id ORDER BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -485,22 +485,26 @@ def _mentions_with_canonical_join(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef") -> rd.Dataset:
+def build_nodes(mentions: rd.Dataset, canon_ref: "ray.ObjectRef",
+                driver_combine_limit: int = 200_000) -> rd.Dataset:
     """Node table via partial aggregation: per-batch partials keyed by
     canonical surface, then one small groupby-combine (pre-aggregate before
     the shuffle, SURVEY.md 'push aggregation partial')."""
     return _nodes_from_canonical(
-        _mentions_with_canonical_broadcast(mentions, canon_ref))
+        _mentions_with_canonical_broadcast(mentions, canon_ref),
+        driver_combine_limit=driver_combine_limit)
 
 
 def build_nodes_join(
     mentions: rd.Dataset, canon_map: rd.Dataset,
     num_partitions: Optional[int] = None,
+    driver_combine_limit: int = 200_000,
 ) -> rd.Dataset:
     """Join-route node table (canon map stays a Dataset; same output as
     :func:`build_nodes`, tested equal)."""
     return _nodes_from_canonical(
-        _mentions_with_canonical_join(mentions, canon_map, num_partitions))
+        _mentions_with_canonical_join(mentions, canon_map, num_partitions),
+        driver_combine_limit=driver_combine_limit)
 
 
 # Per-node surface_forms list cap: top-N by mention count. A pronoun-like
@@ -509,7 +513,8 @@ def build_nodes_join(
 SURFACE_FORMS_CAP = 32
 
 
-def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
+def _nodes_from_canonical(mentions_canonical: rd.Dataset,
+                          driver_combine_limit: int = 200_000) -> rd.Dataset:
     """Shared tail of the node build: per-batch partials over batches that
     already carry ``canonical_surface``, then the hash-bucketed combine."""
 
@@ -554,7 +559,7 @@ def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
         pandas groupbys handle every canonical surface in the partition at
         once — never one UDF call per entity (entity vocabulary is corpus-
         scale; per-group map_groups was the exact_dedup anti-pattern)."""
-        df = group.drop(columns=["part"])
+        df = group.drop(columns=["part"], errors="ignore")
         # majority entity type, ties by name: sort by (-count, type), head(1)
         tc = df.groupby(["canonical_surface", "entity_type"], sort=False)["n"] \
                .sum().reset_index()
@@ -604,15 +609,27 @@ def _nodes_from_canonical(mentions_canonical: rd.Dataset) -> rd.Dataset:
                                       NODE_PARTITIONS)
         return pa.Table.from_pandas(batch, preserve_index=False)
 
+    parts = mentions_canonical.map_batches(
+        lambda t: pa.Table.from_pandas(partials(t), preserve_index=False),
+        batch_format="pyarrow",
+    ).materialize()  # pin partials; reused by whichever combine route runs
+    # Vocabulary-sized partials combine on the driver with ONE call of the
+    # same vectorized kernel — a 64-partition sort shuffle for a few
+    # hundred entities is pure fixed cost that dilutes the parallel
+    # fraction (measured in the 4-vs-16-CPU scaling ratio). Corpus-scale
+    # vocabularies keep the hash-bucketed distributed combine.
+    if 0 < parts.count() <= driver_combine_limit:
+        return rd.from_arrow(combine_partition(parts.to_pandas()))
     return (
-        mentions_canonical.map_batches(partials, batch_format="pyarrow")
+        parts
         .map_batches(add_part, batch_format="pandas")
         .groupby("part")
         .map_groups(combine_partition, batch_format="pandas")
     )
 
 
-def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
+def build_edges(canon_triples: rd.Dataset,
+                driver_combine_limit: int = 200_000) -> rd.Dataset:
     """Exact-dedup edges: partial per-batch counts then a grouped combine —
     the D2 analogue (``groupby((subj,pred,obj)).first``) with map-side
     pre-aggregation."""
@@ -644,6 +661,17 @@ def build_edges(canon_triples: rd.Dataset) -> rd.Dataset:
         lambda t: pa.Table.from_pandas(partials(t), preserve_index=False),
         batch_format="pyarrow",
     ).materialize()  # pin pre-agg partials before the shuffle
+    # Edge vocabularies below the driver budget combine with one pandas
+    # groupby — the native Aggregate's shuffle is pure fixed cost there
+    # (same routing rationale as the node combine); corpus-scale edge sets
+    # keep the distributed aggregate.
+    if 0 < parts.count() <= driver_combine_limit:
+        out = parts.to_pandas().groupby(
+            ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"],
+            sort=True,
+        ).agg(n_occurrences=("n", "sum"),
+              first_conv_id=("first_conv_id", "min")).reset_index()
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
     return parts.groupby(
         ["subj_id", "pred", "obj_id", "subj_canon", "obj_canon"]
     ).aggregate(

@@ -26,6 +26,7 @@ from ..stages.ann import knn_bruteforce, label_centroids
 from ..stages.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -434,6 +435,17 @@ def docs_ngram_jaccard(sf_dir: str) -> rd.Dataset:
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
         threshold=0.5, gram_n=3,
     )
+
+
+def docs_dup_clusters(sf_dir: str) -> rd.Dataset:
+    """Duplicate-cluster assignment: connected components (large/small-star
+    contraction) over the EXACT n-gram Jaccard pair graph — every doc gets
+    cluster_id = min doc_id of its component; singletons map to themselves.
+    Oracle = a DuckDB recursive min-label walk over the brute-force pair
+    twin."""
+    docs = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, gram_n=3)
+    return near_dup_clusters(docs, pairs)
 
 
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:

@@ -1172,3 +1172,78 @@ def ngram_jaccard_pairs(
 
     verified = pairs.map_batches(verify_broadcast, batch_format="pandas")
     return _expand_dup_pairs(verified, members, "jaccard", 1.0)
+
+
+def near_dup_clusters(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    broadcast_limit: int = PAYLOAD_BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """Connected components over a near-duplicate pair graph: every doc gets
+    ``cluster_id`` = the smallest doc_id reachable through the pairs
+    (singletons map to themselves) — the canonical duplicate-cluster
+    assignment that turns pairwise dedup output into per-doc labels.
+
+    Components run through the canonicalization stage's large/small-star
+    contraction (Kiveris et al.; converges in ~6 alternations on chained
+    components vs 24 for plain label propagation) over zero-padded id
+    labels, so lexicographic min == numeric min and the a<b edge invariant
+    carries over from the pair tables. The resulting star forest (root ->
+    member rows) auto-routes onto the docs stream: broadcast dict under
+    ``broadcast_limit`` members, hash-partitioned left join above it —
+    docs never materialize on the driver."""
+    import ray
+
+    from .canonicalize import _star_components
+    from .relational import compact_blocks, hash_join
+
+    def enc(batch: pa.Table) -> pa.Table:
+        a = ["%020d" % x for x in batch.column("doc_a").to_pylist()]
+        b = ["%020d" % x for x in batch.column("doc_b").to_pylist()]
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    ids_only = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    forest = _star_components(
+        compact_blocks(ids_only.map_batches(enc, batch_format="pyarrow")))
+
+    def dec(batch: pa.Table) -> pa.Table:
+        roots = [int(x) for x in batch.column("a").to_pylist()]
+        members = [int(x) for x in batch.column("b").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array(roots, pa.int64()),
+        })
+
+    members = forest.map_batches(dec, batch_format="pyarrow").materialize()
+    docs_ids = docs.select_columns(["doc_id"])
+    if members.count() <= broadcast_limit:
+        mdf = members.to_pandas()
+        ref = ray.put(dict(zip(mdf["doc_id"], mdf["cluster_id"]))
+                      if len(mdf) and "doc_id" in mdf.columns else {})
+
+        def assign(batch: pd.DataFrame) -> pa.Table:
+            m = ray.get(ref)
+            ids = batch["doc_id"].to_numpy()
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    batch["doc_id"].map(m).fillna(batch["doc_id"])
+                    .astype("int64").to_numpy(), pa.int64()),
+            })
+
+        return docs_ids.map_batches(assign, batch_format="pandas")
+
+    joined = hash_join(docs_ids, compact_blocks(members),
+                       on=["doc_id"], join_type="left_outer")
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(
+                batch["cluster_id"].fillna(batch["doc_id"])
+                .astype("int64").to_numpy(), pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

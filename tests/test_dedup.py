@@ -414,3 +414,38 @@ def test_ngram_jaccard_join_route_equals_broadcast(ray_session):
                              payload_broadcast_limit=0).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_near_dup_clusters_chain_and_routes(ray_session):
+    """A chained component (a-b, b-c, c-d) must collapse transitively to
+    one cluster labeled by its min id; singletons label themselves; the
+    forced join route (broadcast_limit=0) matches the broadcast route;
+    empty pair graphs yield all-singleton output."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import near_dup_clusters
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(10)], pa.string()),
+    })).materialize()
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([3, 5, 7, 0], pa.int64()),
+        "doc_b": pa.array([5, 7, 9, 1], pa.int64()),
+    })).materialize()
+    out = near_dup_clusters(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 5: 3, 7: 3, 9: 3,
+                   4: 4, 6: 6, 8: 8}
+    joined = near_dup_clusters(docs, pairs, broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, joined)
+
+    empty = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    solo = near_dup_clusters(docs, empty).to_pandas()
+    assert (solo.sort_values("doc_id")["cluster_id"].to_numpy()
+            == solo.sort_values("doc_id")["doc_id"].to_numpy()).all()

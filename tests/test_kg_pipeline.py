@@ -245,3 +245,48 @@ def test_surface_forms_capped_topn(ray_session):
     # top-N by count: the most frequent surfaces (lowest i) survive
     assert forms == [f"MegaCorp v{i:03d}" for i in range(SURFACE_FORMS_CAP)]
     assert int(node["n_mentions"]) == sum(n_forms - i for i in range(n_forms))
+
+
+def test_node_edge_combine_routes_equal(ray_session, tiny_transcripts):
+    """driver_combine_limit=0 forces the distributed node/edge combines;
+    output must equal the driver fast path row-for-row."""
+    import pandas as pd
+    import ray
+
+    from ontonotes_5_parsing_ray.pipelines.kg import (
+        annotate,
+        build_edges,
+        build_nodes,
+        canonicalize_triples,
+        link,
+        read_transcripts,
+        split_linked,
+        surfaces_for_canon,
+    )
+    from ontonotes_5_parsing_ray.stages.canonicalize import (
+        build_canon_map,
+        canon_map_to_dict,
+    )
+
+    annotated = annotate(
+        read_transcripts(tiny_transcripts), concurrency=2, emit="link"
+    ).materialize()
+    linked = link(annotated).materialize()
+    mentions, triples = split_linked(linked)
+    canon = build_canon_map(
+        surfaces_for_canon(mentions, triples)).materialize()
+    ref = ray.put(canon_map_to_dict(canon))
+    ct = canonicalize_triples(triples, ref).materialize()
+
+    def norm(df):
+        return df.sort_values(list(df.columns), kind="mergesort") \
+            .reset_index(drop=True)
+
+    e_drv = norm(build_edges(ct).to_pandas())
+    e_dist = norm(build_edges(ct, driver_combine_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(e_drv, e_dist)
+    n_drv = norm(build_nodes(mentions, ref).to_pandas())
+    n_dist = norm(build_nodes(mentions, ref,
+                              driver_combine_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(n_drv, n_dist)
+    assert len(e_drv) > 0 and len(n_drv) > 0
