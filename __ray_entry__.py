@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dedup": q.docs_simhash_dedup,
         "docs_training_mix": q.docs_training_mix,
         "docs_sample_10pct": q.docs_sample_10pct,
+        "docs_stratified_sample": q.docs_stratified_sample,
         "docs_streaming_dedup": q.docs_streaming_dedup,
         "docs_top_terms": q.docs_top_terms,
         "events_hopping": q.events_hopping,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": q.events_median_value,
         "events_value_quantiles": q.events_value_quantiles,
         "events_user_rolling": q.events_user_rolling,
+        "events_user_gap": q.events_user_gap,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -734,6 +736,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY event_id
         """,
+        # LAG twin: inter-event gap per user on floored-second epochs,
+        # ordered by full-precision ts; first event per user dropped.
+        "events_user_gap": """
+            SELECT event_id, gap_s FROM (
+                SELECT event_id,
+                       epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap_s
+                FROM events
+            ) WHERE gap_s IS NOT NULL
+        """,
         # Range-join twin: recompute the sessions and join each event into
         # its (disjoint) session interval with BETWEEN.
         "events_session_assignment": """
@@ -868,6 +882,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_10pct": """
             SELECT doc_id, source, lang FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 100 < 10
+        """,
+        # Stratified sampling: per-source keep rate (10-50%, md5 of the
+        # source name) applied to the doc_id md5 selector — both halves
+        # reproduce exactly via md5_number_upper.
+        "docs_stratified_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE md5_number_upper(doc_id::VARCHAR) % 1000
+                  < 100 + md5_number_upper(source) % 400
         """,
         # Corpus vocabulary head: whitespace tokens, top-20 by frequency.
         "docs_top_terms": r"""

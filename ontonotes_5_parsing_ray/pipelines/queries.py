@@ -269,6 +269,39 @@ def events_user_rolling(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_user_gap(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap in whole seconds (the LAG window function):
+    order each user's stream by (ts, event_id), emit
+    ``floor_epoch(ts) - floor_epoch(prev ts)``; each user's first event is
+    dropped. One user-hash shuffle + a vectorized ``groupby().shift()`` per
+    partition (`stages.relational.lag_by_key`)."""
+    from ..stages.relational import lag_by_key, to_arrow
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        # floor-to-second epoch for the gap VALUE; ordering stays on the
+        # full-precision ts so sub-second ties break exactly like SQL's
+        # ORDER BY ts, event_id
+        b["ep_s"] = (b["ts"].astype("datetime64[us]").astype("int64")
+                     // 1_000_000)
+        return to_arrow(b)
+
+    lagged = lag_by_key(
+        events.map_batches(prep, batch_format="pandas"),
+        "user_id", ["ts", "event_id"], "ep_s",
+        out_col="gap_s", delta=True, keep_cols=["event_id"],
+    )
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        b = b[b["gap_s"].notna()].copy()
+        b["gap_s"] = b["gap_s"].astype("int64")
+        return to_arrow(b[["event_id", "gap_s"]])
+
+    return lagged.map_batches(finish, batch_format="pandas")
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream
@@ -868,6 +901,28 @@ def docs_sample_10pct(sf_dir: str) -> rd.Dataset:
     def keep(batch: pd.DataFrame) -> pa.Table:
         sel = np.fromiter(
             (token_hash64_md5(str(d)) % 100 < 10 for d in batch["doc_id"]),
+            dtype=bool, count=len(batch))
+        return pa.Table.from_pandas(batch[sel], preserve_index=False)
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def docs_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Stratified deterministic sampling: each SOURCE gets its own keep
+    rate (derived from the source name's md5, 10%-50%), each doc keeps or
+    drops by its id's md5 against that rate — per-stratum reproducible
+    sampling with zero shuffle and zero state, exactly reproducible in
+    SQL via ``md5_number_upper`` on both the rate and the selector."""
+    from ..functions.hashing import token_hash64_md5
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def keep(batch: pd.DataFrame) -> pa.Table:
+        rates = {s: 100 + token_hash64_md5(s) % 400
+                 for s in batch["source"].unique()}
+        sel = np.fromiter(
+            (token_hash64_md5(str(d)) % 1000 < rates[s]
+             for d, s in zip(batch["doc_id"], batch["source"])),
             dtype=bool, count=len(batch))
         return pa.Table.from_pandas(batch[sel], preserve_index=False)
 

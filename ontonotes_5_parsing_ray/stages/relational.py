@@ -1137,3 +1137,51 @@ def rolling_by_key(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def lag_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "lag_value",
+    delta: bool = False,
+    keep_cols: Optional[Sequence[str]] = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key previous-row value (``lag(value) OVER (PARTITION BY key
+    ORDER BY ...)``) — or, with ``delta=True``, the difference
+    ``value - lag(value)`` (inter-event gaps, deltas, rate-of-change).
+
+    Same one-shuffle plan as :func:`rolling_by_key`: ``hash(key) % P``
+    co-locates each key's rows, each partition does ONE mergesort + one
+    C-speed ``groupby().shift()`` — no per-key UDF calls. The first row of
+    every key gets a null ``out_col`` (callers filter or fill). Same
+    partitioning contract: one key's rows fit one partition; pass a unique
+    tie-breaker in ``order_cols`` for a total, deterministic order."""
+    from ..functions.hashing import partition_vec
+
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols) if keep_cols is not None else [key_col]
+    need = sorted({key_col, value_col, *order_cols, *keep_cols})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values([key_col] + order_cols,
+                           kind="mergesort").reset_index(drop=True)
+        prev = sv.groupby(key_col, sort=False)[value_col].shift(1)
+        out = sv[keep_cols].copy()
+        out[out_col] = (sv[value_col] - prev) if delta else prev
+        return to_arrow(out)
+
+    return (
+        ds.select_columns(need)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -709,3 +709,43 @@ def test_rolling_by_key_matches_pandas_window(ray_session):
     np.testing.assert_allclose(out["rolling_avg"].to_numpy(),
                                truth["rolling_avg"].to_numpy(),
                                rtol=0, atol=1e-9)
+
+
+def test_lag_by_key_matches_pandas_shift(ray_session):
+    """lag_by_key == pandas groupby.shift (lag AND delta modes) on a
+    stream with duplicate timestamps and a hot key spanning batches;
+    first row per key is null."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import lag_by_key
+
+    rng = np.random.RandomState(43)
+    n = 10_000
+    users = np.where(rng.rand(n) < 0.3, 7, rng.randint(0, 40, size=n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "ts": rng.randint(0, 400, size=n).astype(np.int64),
+        "value": rng.randint(0, 1000, size=n).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    sv = df.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort").reset_index(drop=True)
+    prev = sv.groupby("user_id", sort=False)["value"].shift(1)
+
+    for delta in (False, True):
+        out = lag_by_key(ds, "user_id", ["ts", "event_id"], "value",
+                         out_col="o", delta=delta,
+                         keep_cols=["event_id"]).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = (sv["value"] - prev) if delta else prev
+        truth = sv[["event_id"]].assign(o=want.to_numpy()) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == n
+        assert int(out["o"].isna().sum()) == df["user_id"].nunique()
+        pd.testing.assert_series_equal(out["o"], truth["o"],
+                                       check_dtype=False)

@@ -32,6 +32,8 @@ SQL_PAIRED = [
     "events_median_value", "docs_streaming_dedup",
     "events_session_assignment", "docs_training_mix", "emb_knn_multi",
     "docs_minhash_pairs",
+    # round-4: per-source stratified deterministic sampling, per-key LAG
+    "docs_stratified_sample", "events_user_gap",
 ]
 
 
