@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_streaming_dedup": q.docs_streaming_dedup,
         "docs_top_terms": q.docs_top_terms,
+        "docs_tfidf_top3": q.docs_tfidf_top3,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
         "events_session_assignment": q.events_session_assignment,
@@ -890,6 +891,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 1000
                   < 100 + md5_number_upper(source) % 400
+        """,
+        # TF-IDF twin: exact tf/df recomputed from the same whitespace
+        # tokenization; rank by the ROUNDED score (then token) so float
+        # ties resolve identically on both sides.
+        "docs_tfidf_top3": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(*)::BIGINT AS df
+                FROM (SELECT DISTINCT doc_id, token FROM toks)
+                GROUP BY token
+            ), n AS (
+                SELECT count(*)::DOUBLE AS n FROM documents
+            ), scored AS (
+                SELECT doc_id, token,
+                       round(tf * ln(n.n / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (token), n
+            )
+            SELECT doc_id, token, tfidf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+                FROM scored
+            ) WHERE rn <= 3
         """,
         # Corpus vocabulary head: whitespace tokens, top-20 by frequency.
         "docs_top_terms": r"""

@@ -955,6 +955,70 @@ def docs_top_terms(sf_dir: str) -> pd.DataFrame:
     return top[["token", "n"]].reset_index(drop=True)
 
 
+def docs_tfidf_top3(sf_dir: str, broadcast_limit: int = 200_000) -> rd.Dataset:
+    """Per-document top-3 characteristic terms by TF-IDF
+    (``tf * ln(N / df)``) — the corpus-analysis operator behind keyword
+    extraction and topical filtering.
+
+    Plan: one streaming pass builds exact per-doc term frequencies (a doc
+    is one row, so the per-batch groupby is complete — no shuffle); the
+    document-frequency table is a distributed pre-aggregated combine over
+    those (doc, token) rows. Scoring auto-routes: a vocabulary-sized df
+    table broadcasts via ``ray.put`` into a per-batch vectorized scorer;
+    above ``broadcast_limit`` distinct tokens it becomes a token-hash
+    ``hash_join`` instead (neither side driver-resident). Top-3 per doc is
+    the bounded ``groupwise_head`` quota (rank by rounded score desc, then
+    token — float-tie-stable vs the SQL twin)."""
+    import pyarrow.parquet as pq2
+
+    import ray
+
+    from ..stages.relational import groupwise_head, to_arrow
+
+    n_docs = pq2.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pa.Table:
+        sub = batch[batch["text"].str.strip() != ""]
+        toks = sub.assign(token=sub["text"].str.strip().str.split())[
+            ["doc_id", "token"]].explode("token")
+        tf = (toks.groupby(["doc_id", "token"], sort=False)
+              .size().reset_index(name="tf"))
+        return to_arrow(tf)
+
+    # (doc, token, tf) rows are consumed twice (df combine + scoring) —
+    # pin them instead of re-tokenizing the corpus
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+    df_ds = preagg_groupby_ds(tf, ["token"], {"df": ("tf", "count")})
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log(float(n_docs) / batch["df"].to_numpy(np.float64))
+        out = batch[["doc_id", "token"]].copy()
+        out["tfidf"] = round_half_away(
+            batch["tf"].to_numpy(np.float64) * idf, 6)
+        out["neg"] = -out["tfidf"]
+        return out
+
+    if df_ds.count() <= broadcast_limit:
+        df_ref = ray.put(df_ds.to_pandas().set_index("token")["df"])
+
+        def score_bc(batch: pd.DataFrame) -> pa.Table:
+            dfmap = ray.get(df_ref)
+            b = batch.copy()
+            b["df"] = dfmap.reindex(batch["token"]).to_numpy(np.int64)
+            return to_arrow(score(b))
+
+        scored = tf.map_batches(score_bc, batch_format="pandas")
+    else:
+        joined = hash_join(tf, df_ds, on=["token"])
+        scored = joined.map_batches(
+            lambda b: to_arrow(score(b)), batch_format="pandas")
+
+    top = groupwise_head(scored, "doc_id", ["neg", "token"], 3)
+    return top.select_columns(["doc_id", "token", "tfidf"])
+
+
 def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup through the SHARED MUTABLE INDEX (sharded actors) — the
     streaming-ingest twin of docs_exact_dedup. Which duplicate is admitted

@@ -32,8 +32,9 @@ SQL_PAIRED = [
     "events_median_value", "docs_streaming_dedup",
     "events_session_assignment", "docs_training_mix", "emb_knn_multi",
     "docs_minhash_pairs",
-    # round-4: per-source stratified deterministic sampling, per-key LAG
-    "docs_stratified_sample", "events_user_gap",
+    # round-4: per-source stratified deterministic sampling, per-key LAG,
+    # per-doc TF-IDF top terms
+    "docs_stratified_sample", "events_user_gap", "docs_tfidf_top3",
 ]
 
 
@@ -71,6 +72,19 @@ def test_query_matches_duckdb_oracle(ray_session, duck, name):
     assert list(mine.columns) == list(oracle.columns)
     assert len(mine) == len(oracle)
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_tfidf_join_route_equals_broadcast(ray_session):
+    """docs_tfidf_top3's distributed hash-join scoring route (df table too
+    big to broadcast) returns exactly the broadcast fast path's rows."""
+    from ontonotes_5_parsing_ray.pipelines import queries as q
+
+    a = q.docs_tfidf_top3(SF_DIR).to_pandas() \
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+    b = q.docs_tfidf_top3(SF_DIR, broadcast_limit=0).to_pandas() \
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_every_query_has_an_oracle_or_rationale():
