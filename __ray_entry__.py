@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_streaming_dedup": q.docs_streaming_dedup,
         "docs_top_terms": q.docs_top_terms,
         "docs_tfidf_top3": q.docs_tfidf_top3,
+        "docs_chunked": q.docs_chunked,
+        "docs_stopword_strip": q.docs_stopword_strip,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
         "events_session_assignment": q.events_session_assignment,
@@ -92,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": q.events_value_quantiles,
         "events_user_rolling": q.events_user_rolling,
         "events_user_gap": q.events_user_gap,
+        "events_rollup": q.events_rollup,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -737,6 +740,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY event_id
         """,
+        # GROUPING SETS twin: NULLs of the rolled-up dimensions coalesced
+        # to the same sentinels the one-pass Ray rollup emits.
+        "events_rollup": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(window_start, -1) AS window_start,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS value_sum
+            FROM (
+                SELECT event_type,
+                       ((epoch_us(ts) // 1000000) // 3600) * 3600
+                           AS window_start,
+                       value
+                FROM events
+            )
+            GROUP BY GROUPING SETS ((event_type, window_start),
+                                    (event_type), ())
+        """,
         # LAG twin: inter-event gap per user on floored-second epochs,
         # ordered by full-precision ts; first event per user dropped.
         "events_user_gap": """
@@ -920,6 +940,31 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
                 FROM scored
             ) WHERE rn <= 3
+        """,
+        # Chunking twin: list_slice windows over the same tokenization;
+        # generate_series enumerates each doc's chunk indices.
+        "docs_chunked": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(list_slice(arr, i*16+1, i*16+16), ' ')
+                       AS chunk,
+                   least(16, len(arr) - i*16)::BIGINT AS n_tokens
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(0, (len(arr)-1)//16))
+                              AS i) g
+        """,
+        # Normalization twin: the same tokenization filtered by a lambda,
+        # re-joined with single spaces.
+        "docs_stopword_strip": r"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t NOT IN ('a', 'the')), ' ')
+                       AS text_clean
+            FROM documents
         """,
         # Corpus vocabulary head: whitespace tokens, top-20 by frequency.
         "docs_top_terms": r"""

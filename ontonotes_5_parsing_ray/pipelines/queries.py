@@ -302,6 +302,47 @@ def events_user_gap(sf_dir: str) -> rd.Dataset:
     return lagged.map_batches(finish, batch_format="pandas")
 
 
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level GROUPING SETS aggregate in ONE pass over the stream:
+    (event_type, hour), (event_type), and grand total, all derived from a
+    single map-side partial at the finest level — the coarser levels are
+    rolled up from the combined finest table (types × hours — vocabulary-
+    sized), never from a second scan. Sentinels: '<all>' / -1 mark the
+    rolled-up dimensions, mirroring the SQL twin's coalesced NULLs."""
+    from ..stages.relational import to_arrow
+
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def keyed(b: pd.DataFrame) -> pa.Table:
+        ep = b["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        return to_arrow(pd.DataFrame({
+            "event_type": b["event_type"],
+            "window_start": (ep // 3600) * 3600,
+            "value": b["value"],
+        }))
+
+    finest = preagg_groupby(
+        events.map_batches(keyed, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n": ("value", "count"), "value_sum": ("value", "sum")},
+    )
+    by_type = (finest.groupby("event_type", sort=False)
+               .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
+               .reset_index())
+    by_type["window_start"] = np.int64(-1)
+    total = pd.DataFrame({
+        "event_type": ["<all>"],
+        "window_start": np.array([-1], np.int64),
+        "n": [finest["n"].sum()],
+        "value_sum": [finest["value_sum"].sum()],
+    })
+    out = pd.concat([finest, by_type, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["value_sum"] = round_half_away(
+        out["value_sum"].to_numpy(np.float64), 6)
+    return out[["event_type", "window_start", "n", "value_sum"]]
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream
@@ -1017,6 +1058,65 @@ def docs_tfidf_top3(sf_dir: str, broadcast_limit: int = 200_000) -> rd.Dataset:
 
     top = groupwise_head(scored, "doc_id", ["neg", "token"], 3)
     return top.select_columns(["doc_id", "token", "tfidf"])
+
+
+def docs_chunked(sf_dir: str, chunk_tokens: int = 16) -> rd.Dataset:
+    """Token-window chunking — the training-data step that splits each
+    document into consecutive ≤K-token pieces (context-length packing
+    prep). Pure per-batch flat fan-out: the chunk rows never leave the
+    producing task, no shuffle, output ~``n_tokens/K`` rows per doc. The
+    per-doc Python loop is inherent string work (same budget as the
+    dedup shingle passes); everything around it is columnar."""
+    docs = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    k = int(chunk_tokens)
+
+    def chunks(b: pd.DataFrame) -> pa.Table:
+        doc_ids: list = []
+        idxs: list = []
+        texts: list = []
+        ntoks: list = []
+        for did, txt in zip(b["doc_id"].to_numpy(), b["text"]):
+            toks = txt.split()
+            for i in range(0, len(toks), k):
+                piece = toks[i:i + k]
+                doc_ids.append(did)
+                idxs.append(i // k)
+                texts.append(" ".join(piece))
+                ntoks.append(len(piece))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk": pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+        })
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+_STOPWORDS = frozenset({"a", "the"})
+
+
+def docs_stopword_strip(sf_dir: str) -> rd.Dataset:
+    """Stopword-strip normalization (boilerplate-token removal before
+    tokenizer training / dedup). Pure per-batch transform: one vectorized
+    explode + ``isin`` filter, then a per-doc whitespace re-join (the only
+    per-doc string work, same budget as chunking). No shuffle, no state;
+    docs reduced to nothing stay as empty strings so row count is stable."""
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def strip_batch(b: pd.DataFrame) -> pa.Table:
+        b = b.reset_index(drop=True)
+        ex = b["text"].str.strip().str.split().explode().dropna()
+        kept = ex[~ex.isin(_STOPWORDS)]
+        joined = kept.groupby(level=0).agg(" ".join)
+        return to_arrow(pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "text_clean": joined.reindex(b.index).fillna("").to_numpy(),
+        }))
+
+    return docs.map_batches(strip_batch, batch_format="pandas")
 
 
 def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:

@@ -35,6 +35,8 @@ SQL_PAIRED = [
     # round-4: per-source stratified deterministic sampling, per-key LAG,
     # per-doc TF-IDF top terms
     "docs_stratified_sample", "events_user_gap", "docs_tfidf_top3",
+    # round-4: chunking, normalization, single-pass grouping sets
+    "docs_chunked", "docs_stopword_strip", "events_rollup",
 ]
 
 
