@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top3": q.docs_tfidf_top3,
         "docs_chunked": q.docs_chunked,
         "docs_stopword_strip": q.docs_stopword_strip,
+        "docs_keyword_search": q.docs_keyword_search,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
         "events_session_assignment": q.events_session_assignment,
@@ -955,6 +956,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks,
                  LATERAL (SELECT unnest(generate_series(0, (len(arr)-1)//16))
                               AS i) g
+        """,
+        # Keyword-search twin: containment over the same tokenization
+        # (the index is an access path, not a semantics change).
+        "docs_keyword_search": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(
+                      regexp_split_to_array(trim(text), '\s+'), 'spark')
+              AND list_contains(
+                      regexp_split_to_array(trim(text), '\s+'), 'window')
         """,
         # Normalization twin: the same tokenization filtered by a lambda,
         # re-joined with single spaces.

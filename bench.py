@@ -91,6 +91,10 @@ def run_bench() -> dict:
         ("docs_top_terms", q.docs_top_terms),
         ("docs_source_quota", lambda d: q.docs_source_quota(d).count()),
         ("emb_knn_ivf", q.emb_knn_ivf),
+        # round-4 operators
+        ("events_user_gap", lambda d: q.events_user_gap(d).count()),
+        ("events_rollup", q.events_rollup),
+        ("docs_tfidf_top3", lambda d: q.docs_tfidf_top3(d).count()),
     ]:
         t1 = time.time()
         fn(sf_dir)

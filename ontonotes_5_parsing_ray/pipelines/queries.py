@@ -1119,6 +1119,45 @@ def docs_stopword_strip(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(strip_batch, batch_format="pandas")
 
 
+def docs_keyword_search(sf_dir: str) -> rd.Dataset:
+    """Conjunctive keyword search through the PARTITIONED on-disk inverted
+    index (the text-retrieval sibling of the LSH/IVF embedding indexes):
+    the query opens only its tokens' bucket partitions — pruning at the
+    read — then one distributed combine enforces the ALL-tokens predicate.
+    Index cached under /tmp per sf tag with the same atomic build + cache
+    key as the ANN indexes."""
+    from ..stages.textindex import search_keywords
+
+    idx_dir = _ensure_inverted_index(sf_dir)
+    return search_keywords(idx_dir, ["spark", "window"], mode="and")
+
+
+def _ensure_inverted_index(sf_dir: str, num_buckets: int = 64) -> str:
+    """Build (or reuse) the cached inverted index for ``sf_dir`` (atomic
+    tmp-dir + ``os.replace`` lifecycle and size+mtime cache key, identical
+    to the LSH/IVF index helpers)."""
+    import shutil
+
+    from ..stages.textindex import build_inverted_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/onr_inv_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
+    if not os.path.isfile(os.path.join(idx_dir, "_META")):
+        tmp_dir = f"{idx_dir}.build-{os.getpid()}"  # per-process scratch
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            tmp_dir, num_buckets=num_buckets,
+        )  # writes _META last
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.replace(tmp_dir, idx_dir)
+    return idx_dir
+
+
 def docs_streaming_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup through the SHARED MUTABLE INDEX (sharded actors) — the
     streaming-ingest twin of docs_exact_dedup. Which duplicate is admitted

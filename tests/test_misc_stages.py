@@ -749,3 +749,41 @@ def test_lag_by_key_matches_pandas_shift(ray_session):
         assert int(out["o"].isna().sum()) == df["user_id"].nunique()
         pd.testing.assert_series_equal(out["o"], truth["o"],
                                        check_dtype=False)
+
+
+def test_inverted_index_search_modes(ray_session, tmp_path):
+    """build_inverted_index + search_keywords == brute-force containment
+    (AND and OR modes), reading only the query tokens' bucket partitions;
+    unseen tokens and empty results are safe."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.textindex import (
+        build_inverted_index,
+        search_keywords,
+    )
+
+    texts = [
+        "red green blue", "red red green", "blue yellow",
+        "green", "  ", "yellow red green blue",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    idx = build_inverted_index(ds, str(tmp_path / "inv"), num_buckets=8)
+    assert os.path.isfile(os.path.join(idx, "_META"))
+
+    def brute(toks, mode):
+        sets = [{i for i, t in enumerate(texts) if tok in t.split()}
+                for tok in toks]
+        out = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        return sorted(out)
+
+    for toks, mode in [(["red", "green"], "and"), (["red", "green"], "or"),
+                       (["blue"], "and"), (["nosuchtoken"], "and"),
+                       (["nosuchtoken", "red"], "or")]:
+        got = sorted(search_keywords(idx, toks, mode=mode)
+                     .to_pandas()["doc_id"].tolist())
+        assert got == brute(toks, mode), (toks, mode)

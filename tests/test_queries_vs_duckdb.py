@@ -35,8 +35,10 @@ SQL_PAIRED = [
     # round-4: per-source stratified deterministic sampling, per-key LAG,
     # per-doc TF-IDF top terms
     "docs_stratified_sample", "events_user_gap", "docs_tfidf_top3",
-    # round-4: chunking, normalization, single-pass grouping sets
+    # round-4: chunking, normalization, single-pass grouping sets,
+    # inverted-index keyword search
     "docs_chunked", "docs_stopword_strip", "events_rollup",
+    "docs_keyword_search",
 ]
 
 
