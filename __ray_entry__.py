@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunked": q.docs_chunked,
         "docs_stopword_strip": q.docs_stopword_strip,
         "docs_keyword_search": q.docs_keyword_search,
+        "docs_bm25_top10": q.docs_bm25_top10,
         "events_hopping": q.events_hopping,
         "events_last_purchase": q.events_last_purchase,
         "events_session_assignment": q.events_session_assignment,
@@ -965,6 +966,45 @@ def oracle_sql() -> dict[str, str]:
                       regexp_split_to_array(trim(text), '\s+'), 'spark')
               AND list_contains(
                       regexp_split_to_array(trim(text), '\s+'), 'window')
+        """,
+        # BM25 twin: tf/df/doc-length/avgdl recomputed inline; the score
+        # expression is parenthesized EXACTLY like the Ray kernel so both
+        # sides run the same IEEE double ops; ranked by the rounded score.
+        "docs_bm25_top10": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, token
+            ), dl AS (
+                SELECT doc_id, count(*)::BIGINT AS dl
+                FROM toks GROUP BY doc_id
+            ), s AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                FROM dl
+            ), qt AS (
+                SELECT unnest(['spark', 'window']) AS token
+            ), df AS (
+                SELECT token, count(*)::DOUBLE AS df FROM tf
+                WHERE token IN (SELECT token FROM qt) GROUP BY token
+            ), scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                           * (tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / s.avgdl))))
+                           AS score
+                FROM tf
+                JOIN df USING (token)
+                JOIN dl USING (doc_id)
+                CROSS JOIN s
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
         # Normalization twin: the same tokenization filtered by a lambda,
         # re-joined with single spaces.

@@ -1132,6 +1132,19 @@ def docs_keyword_search(sf_dir: str) -> rd.Dataset:
     return search_keywords(idx_dir, ["spark", "window"], mode="and")
 
 
+def docs_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant) for a two-term query
+    through the same inverted index: only the query tokens' bucket
+    partitions are read, doc lengths auto-route broadcast/join, scores
+    combine distributed and the driver sees blocks × k rows. Ranked by
+    (rounded score desc, doc_id) so float ties cut identically to the
+    SQL twin, which recomputes tf/df/doc-length/avgdl inline."""
+    from ..stages.textindex import search_bm25
+
+    idx_dir = _ensure_inverted_index(sf_dir)
+    return search_bm25(idx_dir, ["spark", "window"], k=10)
+
+
 def _ensure_inverted_index(sf_dir: str, num_buckets: int = 64) -> str:
     """Build (or reuse) the cached inverted index for ``sf_dir`` (atomic
     tmp-dir + ``os.replace`` lifecycle and size+mtime cache key, identical
@@ -1143,7 +1156,9 @@ def _ensure_inverted_index(sf_dir: str, num_buckets: int = 64) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/onr_inv_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
+    # v2: postings carry tf + the _doclen/BM25-stats sidecar (a v1 cache
+    # dir must not be reused — it lacks them)
+    idx_dir = f"/tmp/onr_inv_index/{tag}-{st.st_size}-{int(st.st_mtime)}-v2"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
         tmp_dir = f"{idx_dir}.build-{os.getpid()}"  # per-process scratch
         if os.path.isdir(tmp_dir):

@@ -784,6 +784,53 @@ def test_inverted_index_search_modes(ray_session, tmp_path):
     for toks, mode in [(["red", "green"], "and"), (["red", "green"], "or"),
                        (["blue"], "and"), (["nosuchtoken"], "and"),
                        (["nosuchtoken", "red"], "or")]:
-        got = sorted(search_keywords(idx, toks, mode=mode)
-                     .to_pandas()["doc_id"].tolist())
+        pdf = search_keywords(idx, toks, mode=mode).to_pandas()
+        # Ray to_pandas drops columns from an empty dataset (documented)
+        got = sorted(pdf["doc_id"].tolist()) if len(pdf.columns) else []
         assert got == brute(toks, mode), (toks, mode)
+
+
+def test_bm25_matches_numpy_reference(ray_session, tmp_path):
+    """search_bm25 == a numpy BM25 reference (Lucene idf), on both the
+    doc-length broadcast route and the forced hash-join route."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.textindex import (
+        build_inverted_index,
+        search_bm25,
+    )
+
+    texts = [
+        "red green blue red", "red red green", "blue yellow",
+        "green", "yellow red green blue green", "blue blue",
+        "red", "green green green yellow",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    idx = build_inverted_index(ds, str(tmp_path / "inv"), num_buckets=8)
+
+    toks = ["red", "green"]
+    docs_toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(d) for d in docs_toks) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for tok in toks:
+        dfreq = sum(tok in d for d in docs_toks)
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for i, d in enumerate(docs_toks):
+            tf = d.count(tok)
+            if tf:
+                expect[i] = expect.get(i, 0.0) + idf * (
+                    tf / (tf + k1 * (1.0 - b + b * len(d) / avgdl)))
+    want = sorted(((round(s, 6), i) for i, s in expect.items()),
+                  key=lambda p: (-p[0], p[1]))[:5]
+
+    for limit in (5_000_000, 0):   # broadcast route, then forced join route
+        got = search_bm25(idx, toks, k=5, broadcast_limit=limit)
+        assert [(round(s, 6), i) for s, i in
+                zip(got["score"], got["doc_id"])] == want, limit
