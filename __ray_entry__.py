@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rolling": q.events_user_rolling,
         "events_user_gap": q.events_user_gap,
         "events_rollup": q.events_rollup,
+        "events_pagerank": q.events_pagerank,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -741,6 +742,43 @@ def oracle_sql() -> dict[str, str]:
                        AS rolling_avg
             FROM events
             ORDER BY event_id
+        """,
+        # PageRank twin: recursive-CTE power iteration over the weighted
+        # bipartite graph; contribution arithmetic shaped exactly like the
+        # Ray kernel ((rank * w) / outdeg) so doubles agree bit-for-bit.
+        "events_pagerank": """
+            WITH RECURSIVE
+            raw AS (
+                SELECT 'u' || user_id::VARCHAR AS src,
+                       't' || event_type AS dst
+                FROM events
+                UNION ALL
+                SELECT 't' || event_type AS src,
+                       'u' || user_id::VARCHAR AS dst
+                FROM events
+            ),
+            edges AS (
+                SELECT src, dst, count(*)::DOUBLE AS w
+                FROM raw GROUP BY src, dst
+            ),
+            deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src),
+            n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+            pr AS (
+                SELECT src AS node, (SELECT 1.0 / n FROM n) AS rank,
+                       0 AS it
+                FROM deg
+                UNION ALL
+                SELECT e.dst AS node,
+                       0.15 / (SELECT n FROM n)
+                       + 0.85 * sum(pr.rank * e.w / d.outdeg) AS rank,
+                       pr.it + 1 AS it
+                FROM pr
+                JOIN edges e ON e.src = pr.node
+                JOIN deg d ON d.src = pr.node
+                WHERE pr.it < 5
+                GROUP BY e.dst, pr.it
+            )
+            SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5
         """,
         # GROUPING SETS twin: NULLs of the rolled-up dimensions coalesced
         # to the same sentinels the one-pass Ray rollup emits.

@@ -343,6 +343,41 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "window_start", "n", "value_sum"]]
 
 
+def events_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank (5 iterations, d=0.85) over the undirected
+    bipartite user↔event_type graph (edge weight = event count) — the
+    iterative-algorithm showcase: each round is one distributed
+    contributions pass + one combine, rank state auto-routed
+    (`stages.graph.pagerank`). Oracle = a recursive-CTE power iteration
+    with the identical ``(rank * w) / outdeg`` arithmetic."""
+    from ..stages.graph import pagerank
+    from ..stages.relational import to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def edge_partials(b: pd.DataFrame) -> pa.Table:
+        u = "u" + b["user_id"].astype(str)
+        t = "t" + b["event_type"].astype(str)
+        both = pd.DataFrame({
+            "src": pd.concat([u, t], ignore_index=True),
+            "dst": pd.concat([t, u], ignore_index=True),
+        })
+        part = (both.groupby(["src", "dst"], sort=False)
+                .size().reset_index(name="w"))
+        part["w"] = part["w"].astype("float64")
+        return to_arrow(part)
+
+    edges = preagg_groupby_ds(
+        events.map_batches(edge_partials, batch_format="pandas"),
+        ["src", "dst"], {"w": ("w", "sum")},
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=5)
+    if isinstance(ranks, rd.Dataset):  # join route (not at test scales)
+        ranks = ranks.to_pandas()
+    ranks["rank"] = round_half_away(ranks["rank"].to_numpy(np.float64), 6)
+    return ranks[["node", "rank"]].reset_index(drop=True)
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

@@ -834,3 +834,42 @@ def test_bm25_matches_numpy_reference(ray_session, tmp_path):
         got = search_bm25(idx, toks, k=5, broadcast_limit=limit)
         assert [(round(s, 6), i) for s, i in
                 zip(got["score"], got["doc_id"])] == want, limit
+
+
+def test_pagerank_routes_match_numpy(ray_session):
+    """pagerank == a numpy power iteration, on both the broadcast-state
+    route and the forced node-hash join route (identical to 1e-12)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    raw = pd.DataFrame({
+        "u": "u" + pd.Series(rng.randint(0, 30, 600)).astype(str),
+        "t": "t" + pd.Series(rng.randint(0, 6, 600)).astype(str),
+    })
+    both = pd.concat([raw.rename(columns={"u": "src", "t": "dst"}),
+                      raw.rename(columns={"t": "src", "u": "dst"})])
+    epdf = both.groupby(["src", "dst"]).size().reset_index(name="w")
+    epdf["w"] = epdf["w"].astype("float64")
+    edges = rd.from_arrow(pa.Table.from_pandas(epdf, preserve_index=False))
+
+    deg = epdf.groupby("src")["w"].sum()
+    nodes = sorted(deg.index)
+    n = len(nodes)
+    r = pd.Series(1.0 / n, index=nodes)
+    for _ in range(5):
+        c = (r[epdf["src"]].to_numpy() * epdf["w"].to_numpy()
+             / deg[epdf["src"]].to_numpy())
+        s = pd.Series(c).groupby(epdf["dst"].to_numpy()).sum()
+        r = 0.15 / n + 0.85 * s.reindex(nodes).fillna(0.0)
+
+    bc = pagerank(edges).set_index("node")["rank"].sort_index()
+    jn = pagerank(edges, broadcast_limit=0).to_pandas() \
+        .set_index("node")["rank"].sort_index()
+    assert np.abs(bc - r.sort_index()).max() < 1e-12
+    assert np.abs(jn - r.sort_index()).max() < 1e-12
+    assert abs(bc.sum() - 1.0) < 1e-9   # rank mass conserved

@@ -38,7 +38,7 @@ SQL_PAIRED = [
     # round-4: chunking, normalization, single-pass grouping sets,
     # inverted-index keyword search
     "docs_chunked", "docs_stopword_strip", "events_rollup",
-    "docs_keyword_search", "docs_bm25_top10",
+    "docs_keyword_search", "docs_bm25_top10", "events_pagerank",
 ]
 
 
