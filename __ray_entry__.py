@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gap": q.events_user_gap,
         "events_rollup": q.events_rollup,
         "events_pagerank": q.events_pagerank,
+        "events_view_then_purchase": q.events_view_then_purchase,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -779,6 +780,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst, pr.it
             )
             SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5
+        """,
+        # Interval-join twin: plain self-join with the BETWEEN predicate
+        # over the same floored-second epochs.
+        "events_view_then_purchase": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events
+            )
+            SELECT l.event_id AS view_id, r.event_id AS purchase_id
+            FROM e l JOIN e r ON r.user_id = l.user_id
+            WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+              AND r.ep > l.ep AND r.ep <= l.ep + 1800
         """,
         # GROUPING SETS twin: NULLs of the rolled-up dimensions coalesced
         # to the same sentinels the one-pass Ray rollup emits.

@@ -378,6 +378,38 @@ def events_pagerank(sf_dir: str) -> pd.DataFrame:
     return ranks[["node", "rank"]].reset_index(drop=True)
 
 
+def events_view_then_purchase(sf_dir: str) -> rd.Dataset:
+    """Stream-stream interval join: every (view, purchase) pair by the
+    same user with the purchase strictly within 30 minutes after the view
+    — ALL matches, not just the nearest (`stages.relational.interval_join`:
+    window-bucketed co-partition, left side replicated into exactly two
+    buckets, vectorized searchsorted kernel emitting only true pairs)."""
+    from ..stages.relational import interval_join, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+
+    def side(keep: str):
+        def prep(b: pd.DataFrame) -> pa.Table:
+            s = b[b["event_type"] == keep].copy()
+            s["ep"] = (s["ts"].astype("datetime64[us]").astype("int64")
+                       // 1_000_000)
+            return to_arrow(s[["event_id", "user_id", "ep"]])
+
+        return events.map_batches(prep, batch_format="pandas")
+
+    pairs = interval_join(
+        side("view"), side("purchase"),
+        key_col="user_id", time_col="ep", window=1800,
+    )
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        out = b.rename(columns={"l_id": "view_id", "r_id": "purchase_id"})
+        return to_arrow(out[["view_id", "purchase_id"]])
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

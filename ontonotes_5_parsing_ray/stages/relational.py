@@ -1139,6 +1139,102 @@ def rolling_by_key(
     )
 
 
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    time_col: str,
+    window: int,
+    id_col: str = "event_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Stream-stream interval join: every left row pairs with ALL right
+    rows of the same key strictly after it within ``window`` time units
+    (``l.t < r.t <= l.t + window``) — the "purchase within 30 min of a
+    view" shape :func:`asof_join` (most-recent-one) cannot express.
+
+    Plan: time is bucketed by ``window`` so a left row's matches live in
+    exactly two buckets — the row's own and the next. Right rows shuffle
+    once to ``hash(key, bucket) % P``; left rows are REPLICATED into both
+    target buckets (2x the left stream, never a cross product). Each
+    partition runs one vectorized kernel: sort rights by (group, time),
+    two ``searchsorted`` calls per left batch bound every match range, and
+    a range-expansion emits exactly the true pairs — output size is the
+    real match count, so a hot key costs its own output, nothing more.
+    ``time_col`` must be integer epoch units on both sides (callers floor
+    timestamps first, as the LAG/session operators do).
+
+    Returns ``(key, l_id, r_id, l_time, r_time)``.
+    """
+    from ..functions.hashing import hash64_vec
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(ds: rd.Dataset, is_left: bool) -> rd.Dataset:
+        def prep(b: pd.DataFrame) -> pa.Table:
+            t = b[time_col].to_numpy(np.int64)
+            base = pd.DataFrame({
+                "key": b[key_col].to_numpy(),
+                "rid": b[id_col].to_numpy(),
+                "t": t,
+                "side": np.int8(0) if is_left else np.int8(1),
+            })
+            if is_left:
+                # replicate into the row's own bucket and the next one
+                b0 = base.assign(bucket=t // window)
+                b1 = base.assign(bucket=t // window + 1)
+                out = pd.concat([b0, b1], ignore_index=True)
+            else:
+                out = base.assign(bucket=t // window)
+            mixed = (hash64_vec(out["key"])
+                     ^ (out["bucket"].to_numpy().astype(np.uint64) * GOLD))
+            out["part"] = (mixed % np.uint64(num_partitions)).astype(np.int32)
+            return to_arrow(out)
+
+        return ds.map_batches(prep, batch_format="pandas")
+
+    def join_partition(g: pd.DataFrame) -> pa.Table:
+        # one group id per (key, bucket); rights sorted by (gid, time)
+        gid = g.groupby(["key", "bucket"], sort=False).ngroup() \
+            .to_numpy(np.uint64)
+        t = g["t"].to_numpy(np.int64).astype(np.uint64)
+        SHIFT = np.uint64(32)
+        combo = (gid << SHIFT) | t          # epoch seconds < 2^32
+        is_l = (g["side"].to_numpy() == 0)
+        rc, rid = combo[~is_l], g["rid"].to_numpy()[~is_l]
+        rt = g["t"].to_numpy(np.int64)[~is_l]
+        order = np.argsort(rc, kind="stable")
+        rc, rid, rt = rc[order], rid[order], rt[order]
+        lc = combo[is_l]
+        lo = np.searchsorted(rc, lc, side="right")
+        hi = np.searchsorted(rc, lc + np.uint64(window), side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({
+                "key": pa.array([], pa.Array.from_pandas(g["key"]).type),
+                "l_id": pa.array([], pa.Array.from_pandas(g["rid"]).type),
+                "r_id": pa.array([], pa.Array.from_pandas(g["rid"]).type),
+                "l_time": pa.array([], pa.int64()),
+                "r_time": pa.array([], pa.int64()),
+            })
+        # expand [lo, hi) ranges into flat right-side indices
+        reps = np.repeat(np.cumsum(counts) - counts, counts)
+        ridx = np.repeat(lo, counts) + (np.arange(total) - reps)
+        out = pd.DataFrame({
+            "key": np.repeat(g["key"].to_numpy()[is_l], counts),
+            "l_id": np.repeat(g["rid"].to_numpy()[is_l], counts),
+            "r_id": rid[ridx],
+            "l_time": np.repeat(g["t"].to_numpy(np.int64)[is_l], counts),
+            "r_time": rt[ridx],
+        })
+        return to_arrow(out)
+
+    both = tag(left, True).union(tag(right, False))
+    return both.groupby("part").map_groups(
+        join_partition, batch_format="pandas")
+
+
 def lag_by_key(
     ds: rd.Dataset,
     key_col: str,

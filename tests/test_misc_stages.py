@@ -751,6 +751,51 @@ def test_lag_by_key_matches_pandas_shift(ray_session):
                                        check_dtype=False)
 
 
+def test_interval_join_matches_bruteforce(ray_session):
+    """interval_join == the brute-force all-pairs predicate
+    (l.t < r.t <= l.t + window, same key) on a stream with a hot key,
+    window-boundary ties, and matches that straddle bucket boundaries
+    (the left-side two-bucket replication must find them all, exactly
+    once)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import interval_join
+
+    rng = np.random.RandomState(47)
+    window = 100
+    nl, nr = 3_000, 3_000
+    # hot key 5 holds ~30% of both sides; times cluster so many r-t deltas
+    # land exactly on 0, window, and window+1 (boundary semantics)
+    def side(n, id0):
+        keys = np.where(rng.rand(n) < 0.3, 5, rng.randint(0, 25, size=n))
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n, dtype=np.int64),
+            "user_id": keys.astype(np.int64),
+            "ep": (rng.randint(0, 12, size=n) * window
+                   + rng.choice([0, 1, window - 1, window, window + 1],
+                                size=n)).astype(np.int64),
+        })
+
+    ldf, rdf = side(nl, 0), side(nr, 1_000_000)
+    left = rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(6)
+    right = rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(6)
+
+    out = interval_join(left, right, key_col="user_id", time_col="ep",
+                        window=window, num_partitions=16).to_pandas()
+
+    m = ldf.merge(rdf, on="user_id", suffixes=("_l", "_r"))
+    m = m[(m["ep_r"] > m["ep_l"]) & (m["ep_r"] <= m["ep_l"] + window)]
+    want = set(zip(m["event_id_l"], m["event_id_r"]))
+    got = list(zip(out["l_id"], out["r_id"]))
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == want
+    # sanity: the fixture actually exercises boundaries and volume
+    assert len(want) > 10_000
+
+
 def test_inverted_index_search_modes(ray_session, tmp_path):
     """build_inverted_index + search_keywords == brute-force containment
     (AND and OR modes), reading only the query tokens' bucket partitions;
