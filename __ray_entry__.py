@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": q.docs_fingerprints,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
+        "docs_decontaminate": q.docs_decontaminate,
+        "docs_repetition": q.docs_repetition,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
@@ -296,6 +298,55 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # Decontamination twin: the identical shingle expression the
+        # docs_minhash_pairs oracle already proves, grams of the
+        # doc_id % 29 == 0 "benchmark" slice joined back against the rest;
+        # count(*) over the distinct (doc, gram) pairs == distinct-overlap.
+        "docs_decontaminate": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(tks) <= 3
+                            THEN [array_to_string(tks, ' ')]
+                            ELSE list_transform(
+                                 generate_series(1, len(tks) - 2),
+                                 i -> tks[i] || ' ' || tks[i+1] || ' '
+                                      || tks[i+2])
+                       END) AS shingles
+                FROM tk
+            ), grams AS (
+                SELECT doc_id, s.g FROM sh, unnest(sh.shingles) AS s(g)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0
+            )
+            SELECT g.doc_id, count(*) AS n_overlap
+            FROM grams g JOIN bench USING (g)
+            WHERE g.doc_id % 29 <> 0
+            GROUP BY g.doc_id
+        """,
+        # Repetition twin: 2-gram counts per doc, max-over-total occurrence
+        # fraction; docs with <2 tokens have no grams and drop out.
+        "docs_repetition": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(tks) - 1),
+                           i -> tks[i] || ' ' || tks[i+1])) AS g2
+                FROM tk WHERE len(tks) >= 2
+            ), c AS (
+                SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   round(max(c)::DOUBLE / sum(c), 6) AS rep2_ratio
+            FROM c GROUP BY doc_id
         """,
         # Connected components over the exact pair graph: recursive
         # min-label walk (a label propagates along edges while smaller than

@@ -589,6 +589,44 @@ def docs_dup_clusters(sf_dir: str) -> rd.Dataset:
     return near_dup_clusters(docs, pairs)
 
 
+def docs_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: every corpus document sharing at least
+    one word 3-gram with the held-out "benchmark" slice (doc_id % 29 == 0
+    stands in for an eval set), with its distinct-overlap count — the
+    pre-training hygiene operator (`stages.decontaminate`: auto-routed
+    broadcast gram set / gram-hash-partitioned semi-join)."""
+    from ..stages.decontaminate import contamination_overlap
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["doc_id"].to_numpy() % 29) == 0
+            return b[m if keep_bench else ~m]
+
+        return docs.map_batches(f, batch_format="pandas")
+
+    return contamination_overlap(side(False), side(True), gram_n=3)
+
+
+def docs_repetition(sf_dir: str) -> rd.Dataset:
+    """Within-document repetition scoring (Gopher-rules family): per doc
+    the fraction of word-2-gram occurrences taken by the most frequent
+    2-gram — one vectorized scan, zero shuffle; docs with <2 tokens are
+    dropped (no grams to score)."""
+    from ..stages.textstats import add_repetition_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        out = add_repetition_score(b)
+        out = out[out["rep2_ratio"] >= 0.0]
+        from ..stages.relational import to_arrow
+        return to_arrow(out[["doc_id", "rep2_ratio"]])
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10

@@ -74,3 +74,31 @@ def add_bpe_token_count(batch: pd.DataFrame) -> pd.DataFrame:
     batch = batch.copy()
     batch["n_bpe_tokens"] = [bpe_ish_token_count(t) for t in batch["text"]]
     return batch
+
+
+def repetition_score(text: str, n: int = 2) -> float:
+    """Within-document repetition: the fraction of word ``n``-gram
+    occurrences taken by the single most frequent ``n``-gram (the
+    Gopher-rules "duplicate n-gram fraction" family) — machine-generated
+    or boilerplate text scores high and gets filtered before training.
+    Returns -1.0 for documents with fewer than ``n`` tokens (no grams),
+    letting callers drop them without a second tokenize."""
+    from collections import Counter
+
+    toks = text.split()
+    total = len(toks) - n + 1
+    if total < 1:
+        return -1.0
+    counts = Counter(tuple(toks[i: i + n]) for i in range(total))
+    return max(counts.values()) / total
+
+
+def add_repetition_score(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc ``rep2_ratio`` column (rounded to 6 decimals for the SQL
+    value-hash twin); gram-less docs carry -1.0 and are filtered by the
+    query layer."""
+    batch = batch.copy()
+    batch["rep2_ratio"] = [
+        round_half_away(repetition_score(t, 2), 6) for t in batch["text"]
+    ]
+    return batch

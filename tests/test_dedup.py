@@ -449,3 +449,69 @@ def test_near_dup_clusters_chain_and_routes(ray_session):
     solo = near_dup_clusters(docs, empty).to_pandas()
     assert (solo.sort_values("doc_id")["cluster_id"].to_numpy()
             == solo.sort_values("doc_id")["doc_id"].to_numpy()).all()
+
+
+def test_contamination_overlap_routes_and_bruteforce(ray_session):
+    """contamination_overlap == the per-doc distinct-gram intersection
+    computed directly, on BOTH routes (broadcast and the forced
+    gram-partitioned join), including planted exact contamination, partial
+    overlap, blank docs, and a short-doc (<= 3 tokens) whole-text shingle."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.decontaminate import (
+        contamination_overlap,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    bench_texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+        for _ in range(6)
+    ] + ["tiny doc"]  # <= 3 tokens: whole text is the single shingle
+    corpus_texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 60)))
+        for _ in range(80)
+    ]
+    corpus_texts[3] = bench_texts[0]                   # fully contaminated
+    corpus_texts[7] = bench_texts[1] + " zzz unique tail words here"
+    corpus_texts[9] = ""                               # blank: excluded
+    corpus_texts[11] = "tiny doc"                      # short-doc overlap
+
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(1000, 1000 + len(bench_texts), dtype=np.int64),
+        "text": bench_texts,
+    })).repartition(3)
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(corpus_texts), dtype=np.int64),
+        "text": corpus_texts,
+    })).repartition(5)
+
+    bench_grams = set()
+    for t in bench_texts:
+        if t.strip():
+            bench_grams |= word_shingles(t.split(), 3)
+    want = {}
+    for i, t in enumerate(corpus_texts):
+        if not t.strip():
+            continue
+        n = len(word_shingles(t.split(), 3) & bench_grams)
+        if n:
+            want[i] = n
+
+    for limit in (2_000_000, 0):  # broadcast route, then forced join route
+        out = contamination_overlap(
+            corpus, bench, gram_n=3, broadcast_limit=limit,
+            num_partitions=8,
+        ).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int),
+                       out["n_overlap"].astype(int)))
+        assert got == want, f"route limit={limit}"
+    assert want[3] >= 1 and 11 in want  # fixture sanity
+
+    # empty benchmark: nothing is contaminated (both routes degenerate)
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="string"),
+    }))
+    assert contamination_overlap(corpus, empty).count() == 0

@@ -161,3 +161,17 @@ def test_vectorized_partition_hash_deterministic():
     import pandas as pd
 
     assert list(partition_vec(pd.Series(keys), 64)) == [26, 4, 40, 6, 45]
+
+
+def test_repetition_score_hand_cases():
+    """max-2-gram occurrence fraction; <2 tokens -> -1 sentinel."""
+    from ontonotes_5_parsing_ray.stages.textstats import repetition_score
+
+    # "a b a b a" -> grams: ab, ba, ab, ba -> max 2 of 4
+    assert repetition_score("a b a b a") == 0.5
+    # all 3 grams distinct
+    assert repetition_score("w x y z") == 1.0 / 3.0
+    # degenerate full repetition
+    assert repetition_score("q q q q") == 1.0
+    assert repetition_score("one") == -1.0
+    assert repetition_score("") == -1.0
