@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
         "emb_knn_ivf": q.emb_knn_ivf,
         "emb_knn_multi": q.emb_knn_multi,
+        "emb_knn_graph": q.emb_knn_graph,
+        "emb_graph_triangles": q.emb_graph_triangles,
         "emb_label_stats": q.emb_label_stats,
         "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)
@@ -577,6 +579,55 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
+        """,
+        # All-pairs kNN-graph twin: row_number window over the full cosine
+        # cross product, identical (cosine desc, dst_id asc) tie rule.
+        "emb_knn_graph": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src_id
+                    ORDER BY cosine DESC, dst_id) AS rn
+                FROM p
+            )
+            SELECT src_id, dst_id, cosine FROM r WHERE rn <= 5
+        """,
+        # Triangle twin: symmetrized kNN edge set, oriented a<b; each
+        # triangle enumerated once via the 3-way self-join, then every
+        # corner contributes one count — matching the wedge-closure plan.
+        "emb_graph_triangles": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src_id
+                    ORDER BY cosine DESC, dst_id) AS rn
+                FROM p
+            ), knn AS (
+                SELECT src_id, dst_id FROM r WHERE rn <= 5
+            ), e AS (
+                SELECT DISTINCT least(src_id, dst_id) AS a,
+                                greatest(src_id, dst_id) AS b FROM knn
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e2.a = e1.b
+                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+                SELECT x AS node FROM tri UNION ALL
+                SELECT y FROM tri UNION ALL
+                SELECT z FROM tri
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY node
         """,
         # Batched kNN twin: top-10 per query via a window over the cross
         # product of the 5 query vectors and the corpus.

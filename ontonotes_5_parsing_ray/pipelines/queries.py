@@ -919,6 +919,31 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     return idx_dir
 
 
+def emb_knn_graph(sf_dir: str) -> rd.Dataset:
+    """Exact all-pairs kNN similarity graph (k=5): every vector's top-5
+    cosine neighbors as directed edges — one broadcast of the normalized
+    corpus matrix, one matmul per batch, n x k edges out
+    (`stages.ann.knn_graph`; the IVF index is the documented route past
+    the broadcast limit)."""
+    from ..stages.ann import knn_graph
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph(emb, k=5)
+
+
+def emb_graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle counts over the symmetrized k=5 similarity graph
+    — graph-quality analytics composed from `knn_graph` +
+    `stages.graph.triangle_counts` (canonicalize -> wedge expansion ->
+    co-partitioned closure check, all pair/node-hash partitioned)."""
+    from ..stages.ann import knn_graph
+    from ..stages.graph import triangle_counts
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    edges = knn_graph(emb, k=5)
+    return triangle_counts(edges, src_col="src_id", dst_col="dst_id")
+
+
 def emb_knn_multi(sf_dir: str) -> pd.DataFrame:
     """Batched exact kNN: the first 5 vectors are the query MATRIX,
     broadcast once; one corpus pass answers all of them (the realistic

@@ -111,6 +111,89 @@ def knn_bruteforce_multi(
     return out.reset_index(drop=True)
 
 
+def knn_graph(
+    embeddings: rd.Dataset,
+    k: int = 5,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """Exact all-pairs kNN graph: every vector's top-``k`` cosine
+    neighbors (self excluded) as directed edges ``(src_id, dst_id,
+    cosine)`` — the similarity-graph constructor feeding clustering,
+    dedup-cluster seeding, and manifold statistics.
+
+    Plan: the unit-normalized corpus matrix is broadcast ONCE
+    (``ray.put``); each corpus batch does ONE ``(batch x dim) @ (dim x n)``
+    matmul and a vectorized per-row top-k (argpartition + the same
+    round-before-truncate tie rule as :func:`knn_bruteforce`), so the
+    n^2 similarity matrix never materializes — live memory is
+    ``batch x n`` per task and output is exactly ``n x k`` edges.
+
+    Scale boundary: the broadcast side is the whole corpus (n x dim
+    float64), enforced by ``broadcast_limit`` rows — exact all-pairs above
+    that is the wrong tool; route through :func:`build_ivf_index` /
+    :func:`knn_ivf_indexed` per source row instead (the ANN scale path).
+    """
+    mat_parts: List[np.ndarray] = []
+    id_parts: List[np.ndarray] = []
+    n_rows = 0
+    for blk in embeddings.select_columns(["vec_id", "embedding"]) \
+            .iter_batches(batch_format="pyarrow"):
+        ids = np.asarray(blk.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(blk.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        n_rows += len(ids)
+        if n_rows > broadcast_limit:
+            raise ValueError(
+                f"knn_graph is the exact small/medium-corpus tool: "
+                f"{n_rows}+ rows exceeds broadcast_limit="
+                f"{broadcast_limit}; use the IVF index for ANN graphs "
+                "at this scale")
+        id_parts.append(ids)
+        # float64 end-to-end: cosine rounding must match the
+        # DOUBLE-precision SQL twin (same rule as knn_bruteforce)
+        mat_parts.append(_unit(vecs))
+    all_ids = np.concatenate(id_parts) if id_parts else np.array([], np.int64)
+    mat = (np.vstack(mat_parts) if mat_parts
+           else np.zeros((0, 1), np.float64))
+    ref = ray.put((all_ids, mat))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
+                                dtype=np.float64))
+        cos = round_half_away(vecs @ m.T, 6)
+        # self-exclusion: a vec_id may sit anywhere in the corpus matrix
+        cos[ids[:, None] == ids_all[None, :]] = -np.inf
+        kk = min(k, cos.shape[1] - 1) if cos.shape[1] > 1 else 0
+        if kk <= 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "dst_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        # coarse cut by argpartition (first kk are the kk largest,
+        # unordered), then expand every element TIED with the cut value so
+        # the (cosine desc, id asc) rule is exact at the boundary — the
+        # lexsort runs over ~kk elements, not n
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for r in range(cos.shape[0]):
+            cand = part[r]
+            v = cos[r, cand].min()
+            cand = np.union1d(cand, np.nonzero(cos[r] == v)[0])
+            order = np.lexsort((ids_all[cand], -cos[r, cand]))[:kk]
+            rows.append(cand[order])
+        picked = np.asarray(rows)
+        return pa.table({
+            "src_id": pa.array(np.repeat(ids, kk), pa.int64()),
+            "dst_id": pa.array(ids_all[picked].ravel(), pa.int64()),
+            "cosine": pa.array(cos[np.arange(len(ids))[:, None],
+                                   picked].ravel(), pa.float64()),
+        })
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        batch_topk, batch_format="pyarrow")
+
+
 class HyperplaneBuckets:
     """Actor-pool stage: embedding -> LSH bucket key (seed-fixed planes)."""
 

@@ -26,7 +26,7 @@ import ray.data as rd
 
 from .relational import hash_join, preagg_groupby_ds, to_arrow
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -125,3 +125,130 @@ def pagerank(
         ranks_ds = summed.map_batches(
             finish, batch_format="pandas").materialize()
     return ranks_ds
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-node triangle counts over an undirected simple graph (edges may
+    arrive directed/duplicated; they are canonicalized first). Returns
+    ``(node, n_triangles)`` for nodes in at least one triangle — the local
+    clustering-coefficient numerator (community structure / similarity-
+    graph quality analytics).
+
+    Plan (wedge-check, 3 co-partitioned passes, no driver state):
+    1. canonicalize: orient each edge ``(a=min, b=max)``, hash-partition by
+       the pair, per-partition dedupe — the edge SET, still distributed.
+    2. wedges: symmetrize the deduped edges into per-node adjacency
+       (``hash(center) % P``), one vectorized triu expansion per partition
+       emits every neighbor pair ``(u < v, center)``. A triangle produces
+       exactly one wedge per corner, so closed-wedge counts grouped by
+       center ARE per-node triangle counts.
+    3. closure: wedges co-partition with the edge set on the pair hash; a
+       per-partition semi-join keeps wedges whose ``(u, v)`` is an edge,
+       then one distributed combine sums by center.
+
+    Partitioning assumption: per-node degree must fit a partition's wedge
+    expansion (deg^2/2 rows) — guaranteed for kNN graphs (deg <= 2k) and
+    any degree-capped similarity graph, which is this operator's intended
+    input. Power-law webgraphs need the degree-ordered orientation
+    refinement (each wedge charged to its LOWEST-degree corner), noted
+    here and intentionally out of scope.
+    """
+    from ..functions.hashing import hash64_vec
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        mixed = hash64_vec(a) * GOLD ^ hash64_vec(b)
+        return (mixed % P).astype(np.int32)
+
+    # -- 1. canonical edge set, pair-partitioned --------------------------
+    def orient(batch: pd.DataFrame) -> pa.Table:
+        s = batch[src_col].to_numpy(np.int64)
+        d = batch[dst_col].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out["part"] = pair_part(out["a"].to_numpy(), out["b"].to_numpy())
+        return to_arrow(out)
+
+    def dedupe(g: pd.DataFrame) -> pa.Table:
+        return to_arrow(g[["a", "b", "part"]].drop_duplicates(["a", "b"]))
+
+    edge_set = edges.map_batches(orient, batch_format="pandas") \
+        .groupby("part").map_groups(dedupe, batch_format="pandas") \
+        .materialize()  # reused by passes 2 and 3
+
+    # -- 2. wedges from per-node adjacency ---------------------------------
+    def adj_rows(batch: pd.DataFrame) -> pa.Table:
+        a = batch["a"].to_numpy(np.int64)
+        b = batch["b"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "node": np.concatenate([a, b]),
+            "nbr": np.concatenate([b, a]),
+        })
+        out["npart"] = (hash64_vec(out["node"].to_numpy())
+                        % P).astype(np.int32)
+        return to_arrow(out)
+
+    def wedge_rows(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values(["node", "nbr"], kind="mergesort")
+        nodes = sv["node"].to_numpy(np.int64)
+        nbrs = sv["nbr"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, nodes[1:] != nodes[:-1]])
+        ends = np.r_[starts[1:], len(nodes)]
+        w_u, w_v, w_c = [], [], []
+        for s, e in zip(starts, ends):
+            nb = nbrs[s:e]  # unique: edge set is deduped
+            if len(nb) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nb), 1)
+            w_u.append(nb[iu])
+            w_v.append(nb[ju])
+            w_c.append(np.full(len(iu), nodes[s], dtype=np.int64))
+        if not w_u:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "center": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        u, v = np.concatenate(w_u), np.concatenate(w_v)
+        out = pd.DataFrame({
+            "a": u, "b": v, "center": np.concatenate(w_c),
+        })
+        out["part"] = pair_part(out["a"].to_numpy(), out["b"].to_numpy())
+        return to_arrow(out)
+
+    wedges = edge_set.map_batches(adj_rows, batch_format="pandas") \
+        .groupby("npart").map_groups(wedge_rows, batch_format="pandas")
+
+    # -- 3. closure check: wedge (a,b) is an edge --------------------------
+    def edge_tag(batch: pd.DataFrame) -> pa.Table:
+        out = batch[["a", "b", "part"]].copy()
+        out["center"] = np.int64(-1)  # marker: edge row
+        return to_arrow(out[["a", "b", "center", "part"]])
+
+    tagged = wedges.union(
+        edge_set.map_batches(edge_tag, batch_format="pandas"))
+
+    def close_partition(g: pd.DataFrame) -> pa.Table:
+        is_edge = g["center"].to_numpy() == -1
+        e = g[is_edge][["a", "b"]]
+        w = g[~is_edge]
+        hit = w.merge(e, on=["a", "b"], how="inner")
+        part = (hit.groupby("center", sort=False).size()
+                .reset_index(name="n_triangles"))
+        part = part.rename(columns={"center": "node"})
+        part["n_triangles"] = part["n_triangles"].astype(np.int64)
+        return to_arrow(part)
+
+    closed = tagged.groupby("part").map_groups(
+        close_partition, batch_format="pandas")
+    return preagg_groupby_ds(closed, ["node"],
+                             {"n_triangles": ("n_triangles", "sum")})

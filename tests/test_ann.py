@@ -155,3 +155,37 @@ def test_ivf_full_probe_equals_bruteforce(ray_session, tmp_path):
     c1 = kmeans_fit(ds, n_clusters=8, n_iter=4)
     c2 = kmeans_fit(ds, n_clusters=8, n_iter=4)
     assert np.array_equal(c1, c2)
+
+
+def test_knn_graph_matches_numpy_bruteforce(ray_session):
+    """knn_graph == per-row numpy brute force with the (rounded cosine
+    desc, id asc) tie rule, across batch boundaries; self never appears;
+    the broadcast_limit guard trips on oversized corpora."""
+    import pandas as pd
+    import pytest
+
+    from ontonotes_5_parsing_ray.functions.rounding import round_half_away
+    from ontonotes_5_parsing_ray.stages.ann import knn_graph
+
+    ds, vecs = _emb_ds(ray_session, n=150, dim=8, seed=9)
+    ds = ds.repartition(7)
+    k = 5
+    out = knn_graph(ds, k=k).to_pandas().sort_values(
+        ["src_id", "cosine", "dst_id"], ascending=[True, False, True],
+    ).reset_index(drop=True)
+
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = round_half_away(v @ v.T, 6)
+    np.fill_diagonal(cos, -np.inf)
+    want = []
+    for i in range(len(v)):
+        order = np.lexsort((np.arange(len(v)), -cos[i]))[:k]
+        for j in order:
+            want.append((i, int(j), cos[i, j]))
+    want_df = pd.DataFrame(want, columns=["src_id", "dst_id", "cosine"])
+    assert len(out) == len(want_df)
+    pd.testing.assert_frame_equal(out, want_df, check_dtype=False)
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        knn_graph(ds, k=2, broadcast_limit=10)

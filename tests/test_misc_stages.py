@@ -918,3 +918,44 @@ def test_pagerank_routes_match_numpy(ray_session):
     assert np.abs(bc - r.sort_index()).max() < 1e-12
     assert np.abs(jn - r.sort_index()).max() < 1e-12
     assert abs(bc.sum() - 1.0) < 1e-9   # rank mass conserved
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    """triangle_counts == brute-force triangle enumeration on a random
+    graph fed as DIRECTED, DUPLICATED edges (canonicalization must
+    dedupe); nodes outside any triangle are absent."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(21)
+    n_nodes = 40
+    und = {(a, b) for a in range(n_nodes) for b in range(a + 1, n_nodes)
+           if rng.rand() < 0.12}
+    # feed both directions plus duplicates
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und] \
+        + [(a, b) for a, b in list(und)[::3]]
+    df = pd.DataFrame(rows, columns=["src", "dst"]).sample(
+        frac=1.0, random_state=3)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(5)
+
+    out = triangle_counts(ds, num_partitions=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["n_triangles"].astype(int)))
+
+    adj = {i: set() for i in range(n_nodes)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for x, y, z in itertools.combinations(range(n_nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for c in (x, y, z):
+                want[c] = want.get(c, 0) + 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
