@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q.events_rollup,
         "events_pagerank": q.events_pagerank,
         "events_view_then_purchase": q.events_view_then_purchase,
+        "events_user_ewma": q.events_user_ewma,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -882,6 +883,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst, pr.it
             )
             SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5
+        """,
+        # EWMA twin: the recursive CTE walks each user's rows in the same
+        # (ep, event_id) order and applies the identical double-precision
+        # recurrence (IEEE addition is commutative, so the arithmetic is
+        # bitwise-equal to the pandas adjust=False kernel before rounding).
+        "events_user_ewma": """
+            WITH RECURSIVE e AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts) // 1000000, event_id
+                       ) AS rn
+                FROM events
+            ), w AS (
+                SELECT user_id, rn, event_id, value::DOUBLE AS ewma
+                FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn, e.event_id,
+                       0.25 * e.value + 0.75 * w.ewma
+                FROM w JOIN e ON e.user_id = w.user_id
+                            AND e.rn = w.rn + 1
+            )
+            SELECT event_id, round(ewma, 6) AS ewma FROM w
         """,
         # Interval-join twin: plain self-join with the BETWEEN predicate
         # over the same floored-second epochs.

@@ -95,6 +95,11 @@ def run_bench() -> dict:
         ("events_user_gap", lambda d: q.events_user_gap(d).count()),
         ("events_rollup", q.events_rollup),
         ("docs_tfidf_top3", lambda d: q.docs_tfidf_top3(d).count()),
+        ("docs_decontaminate", lambda d: q.docs_decontaminate(d).count()),
+        ("events_user_ewma", lambda d: q.events_user_ewma(d).count()),
+        ("emb_knn_graph", lambda d: q.emb_knn_graph(d).count()),
+        ("events_view_then_purchase",
+         lambda d: q.events_view_then_purchase(d).count()),
     ]:
         t1 = time.time()
         fn(sf_dir)

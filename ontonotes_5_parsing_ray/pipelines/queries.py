@@ -302,6 +302,38 @@ def events_user_gap(sf_dir: str) -> rd.Dataset:
     return lagged.map_batches(finish, batch_format="pandas")
 
 
+def events_user_ewma(sf_dir: str) -> rd.Dataset:
+    """Per-user exponentially-weighted value trendline (alpha=0.25): the
+    streaming decay recurrence over each user's event history
+    (`stages.relational.ewma_by_key`, one key-hash shuffle + C-speed
+    grouped recurrence) — per-event output, value-hash-checked against a
+    recursive-CTE twin computing the identical IEEE arithmetic."""
+    from ..stages.relational import ewma_by_key, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["ep"] = (out["ts"].astype("datetime64[us]").astype("int64")
+                     // 1_000_000)
+        return to_arrow(out[["event_id", "user_id", "ep", "value"]])
+
+    ew = ewma_by_key(
+        events.map_batches(prep, batch_format="pandas"),
+        key_col="user_id", order_cols=["ep", "event_id"],
+        value_col="value", alpha=0.25,
+        keep_cols=["event_id"],
+    )
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        out = b[["event_id"]].copy()
+        out["ewma"] = round_half_away(b["ewma"].to_numpy(np.float64), 6)
+        return to_arrow(out)
+
+    return ew.map_batches(finish, batch_format="pandas")
+
+
 def events_rollup(sf_dir: str) -> pd.DataFrame:
     """Multi-level GROUPING SETS aggregate in ONE pass over the stream:
     (event_type, hour), (event_type), and grand total, all derived from a

@@ -1235,6 +1235,59 @@ def interval_join(
         join_partition, batch_format="pandas")
 
 
+def ewma_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    keep_cols: Optional[Sequence[str]] = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key exponentially-weighted moving average — the streaming decay
+    recurrence ``s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` (``s_0 =
+    x_0``) ordered by ``order_cols`` within each key. The smoothing /
+    recency-weighting primitive windows can't express (every prior row
+    contributes, decayed), e.g. per-user spend trendlines.
+
+    Same one-shuffle plan as :func:`lag_by_key`: ``hash(key) % P``
+    co-locates each key, each partition does ONE mergesort + one C-speed
+    ``groupby().ewm(adjust=False).mean()`` — the pandas kernel computes
+    the identical IEEE-double recurrence as a SQL recursive CTE, which is
+    what makes the operator value-hash oracle-checkable. Same contract:
+    one key's rows fit one partition; include a unique tie-breaker in
+    ``order_cols``."""
+    from ..functions.hashing import partition_vec
+
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols) if keep_cols is not None else [key_col]
+    need = sorted({key_col, value_col, *order_cols, *keep_cols})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values([key_col] + order_cols,
+                           kind="mergesort").reset_index(drop=True)
+        ew = (sv.groupby(key_col, sort=False)[value_col]
+              .ewm(alpha=alpha, adjust=False).mean()
+              .reset_index(drop=True))
+        out = sv[keep_cols].copy()
+        out[out_col] = ew.to_numpy(np.float64)
+        return to_arrow(out)
+
+    return (
+        ds.select_columns(need)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 def lag_by_key(
     ds: rd.Dataset,
     key_col: str,

@@ -959,3 +959,47 @@ def test_triangle_counts_matches_bruteforce(ray_session):
                 want[c] = want.get(c, 0) + 1
     assert got == want
     assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_ewma_by_key_matches_explicit_recurrence(ray_session):
+    """ewma_by_key == the explicit per-key decay recurrence (s_0 = x_0,
+    s_t = a*x_t + (1-a)*s_{t-1}) on a stream with a hot key and duplicate
+    order keys — pins both the grouped-kernel row alignment and the
+    arithmetic the recursive-CTE oracle replays."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import ewma_by_key
+
+    rng = np.random.RandomState(17)
+    n = 8_000
+    alpha = 0.25
+    users = np.where(rng.rand(n) < 0.3, 4, rng.randint(0, 30, size=n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "ts": rng.randint(0, 500, size=n).astype(np.int64),
+        "value": rng.rand(n) * 100,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+
+    out = ewma_by_key(ds, "user_id", ["ts", "event_id"], "value",
+                      alpha=alpha, keep_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    sv = df.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort").reset_index(drop=True)
+    want = np.empty(len(sv))
+    state = {}
+    for i, (u, x) in enumerate(zip(sv["user_id"], sv["value"])):
+        s = x if u not in state else alpha * x + (1 - alpha) * state[u]
+        state[u] = s
+        want[i] = s
+    truth = pd.DataFrame({"event_id": sv["event_id"], "w": want}) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n
+    np.testing.assert_array_equal(out["ewma"].to_numpy(),
+                                  truth["w"].to_numpy())
