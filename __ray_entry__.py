@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_multi": q.emb_knn_multi,
         "emb_knn_graph": q.emb_knn_graph,
         "emb_graph_triangles": q.emb_graph_triangles,
+        "emb_label_prop": q.emb_label_prop,
         "emb_label_stats": q.emb_label_stats,
         "emb_near_dup_pairs": q.emb_near_dup_pairs,
         # stable turn ordering (SQL-checkable)
@@ -629,6 +630,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node
+        """,
+        # Label-propagation twin: 3 unrolled rounds over the symmetrized
+        # integer-weight kNN edges; integer sums make the per-node argmax
+        # (s desc, label asc) independent of summation order on both sides.
+        "emb_label_prop": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src_id
+                    ORDER BY cosine DESC, dst_id) AS rn
+                FROM p
+            ), knn AS (
+                SELECT src_id, dst_id, cosine FROM r WHERE rn <= 5
+            ), e0 AS (
+                SELECT DISTINCT least(src_id, dst_id) AS a,
+                                greatest(src_id, dst_id) AS b,
+                                CAST(round(cosine * 1000000) AS BIGINT) AS w
+                FROM knn
+            ), edges AS (
+                SELECT a AS eu, b AS ev, w FROM e0
+                UNION ALL SELECT b, a, w FROM e0
+            ), seeds AS (
+                SELECT vec_id AS node, label::BIGINT AS label
+                FROM embeddings WHERE vec_id % 10 = 0
+            ), c1 AS (
+                SELECT e.ev AS node, l.label, sum(e.w) AS s
+                FROM edges e JOIN seeds l ON l.node = e.eu GROUP BY 1, 2
+            ), w1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY s DESC, label) AS rn
+                    FROM c1) WHERE rn = 1
+            ), l1 AS (
+                SELECT * FROM seeds UNION ALL
+                SELECT * FROM w1
+                WHERE node NOT IN (SELECT node FROM seeds)
+            ), c2 AS (
+                SELECT e.ev AS node, l.label, sum(e.w) AS s
+                FROM edges e JOIN l1 l ON l.node = e.eu GROUP BY 1, 2
+            ), w2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY s DESC, label) AS rn
+                    FROM c2) WHERE rn = 1
+            ), l2 AS (
+                SELECT * FROM seeds UNION ALL
+                SELECT * FROM w2
+                WHERE node NOT IN (SELECT node FROM seeds)
+            ), c3 AS (
+                SELECT e.ev AS node, l.label, sum(e.w) AS s
+                FROM edges e JOIN l2 l ON l.node = e.eu GROUP BY 1, 2
+            ), w3 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY s DESC, label) AS rn
+                    FROM c3) WHERE rn = 1
+            ), l3 AS (
+                SELECT * FROM seeds UNION ALL
+                SELECT * FROM w3
+                WHERE node NOT IN (SELECT node FROM seeds)
+            )
+            SELECT node, label FROM l3
         """,
         # Batched kNN twin: top-10 per query via a window over the cross
         # product of the 5 query vectors and the corpus.

@@ -976,6 +976,38 @@ def emb_graph_triangles(sf_dir: str) -> rd.Dataset:
     return triangle_counts(edges, src_col="src_id", dst_col="dst_id")
 
 
+def emb_label_prop(sf_dir: str) -> pd.DataFrame:
+    """Semi-supervised label propagation over the k=5 similarity graph:
+    vectors with vec_id % 10 == 0 seed their true label; 3 rounds of
+    weighted-majority adoption (`stages.graph.label_propagation`,
+    integer-scaled cosine weights so the distributed argmax is exactly
+    order-independent and SQL-replayable)."""
+    from ..stages.ann import knn_graph
+    from ..stages.graph import label_propagation, symmetrize_int_edges
+    from ..stages.relational import to_arrow
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    edges = symmetrize_int_edges(
+        knn_graph(emb, k=5), src_col="src_id", dst_col="dst_id",
+        weight_col="cosine", scale=1_000_000.0)
+
+    def seed_rows(b: pd.DataFrame) -> pa.Table:
+        m = (b["vec_id"].to_numpy() % 10) == 0
+        return to_arrow(pd.DataFrame({
+            "node": b["vec_id"].to_numpy()[m].astype(np.int64),
+            "label": b["label"].to_numpy()[m].astype(np.int64),
+        }))
+
+    seeds = emb.map_batches(seed_rows, batch_format="pandas")
+    out = label_propagation(edges, seeds, rounds=3)
+    if isinstance(out, rd.Dataset):  # join route (not at test scales)
+        out = out.to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["label"] = out["label"].astype(np.int64)
+    return out[["node", "label"]].reset_index(drop=True)
+
+
 def emb_knn_multi(sf_dir: str) -> pd.DataFrame:
     """Batched exact kNN: the first 5 vectors are the query MATRIX,
     broadcast once; one corpus pass answers all of them (the realistic

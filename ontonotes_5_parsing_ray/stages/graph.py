@@ -26,7 +26,8 @@ import ray.data as rd
 
 from .relational import hash_join, preagg_groupby_ds, to_arrow
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "label_propagation",
+           "symmetrize_int_edges"]
 
 
 def pagerank(
@@ -252,3 +253,163 @@ def triangle_counts(
         close_partition, batch_format="pandas")
     return preagg_groupby_ds(closed, ["node"],
                              {"n_triangles": ("n_triangles", "sum")})
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    rounds: int = 3,
+    broadcast_limit: int = 2_000_000,
+) -> Union[pd.DataFrame, rd.Dataset]:
+    """Semi-supervised label propagation: seed nodes hold fixed labels;
+    each round every node adopts the label with the LARGEST summed edge
+    weight among its labeled in-neighbors (ties -> smallest label id);
+    nodes with no labeled neighbor stay unlabeled until one appears.
+
+    Contract: ``edges`` is ``(u, v, w)`` with BOTH directions present for
+    undirected graphs and ``w`` an INTEGER weight — integer sums are
+    order-independent, so the per-node argmax is exactly reproducible by
+    a SQL twin regardless of distributed summation order (the reason the
+    cosine weights are pre-scaled to ints by callers). ``seeds`` is
+    ``(node, label)``.
+
+    Routing mirrors :func:`pagerank`: the label state broadcasts via
+    ``ray.put`` while the graph's node count fits ``broadcast_limit``
+    (one vectorized contributions pass per round + a distributed
+    (node,label) combine), else the state stays a Dataset and each round
+    is a node-hash join + combine + partition-local argmax. Per-round
+    state is materialized so round ``k+1`` never replays rounds ``1..k``.
+    """
+    from ..functions.hashing import partition_vec
+
+    edges = edges.materialize()
+    n_nodes = preagg_groupby_ds(
+        edges, ["v"], {"_n": ("w", "count")}).count()
+
+    def argmax_frame(df: pd.DataFrame) -> pd.DataFrame:
+        """(node, label, s) -> winner per node by (s desc, label asc)."""
+        sv = df.sort_values(["node", "s", "label"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return sv.drop_duplicates("node")[["node", "label"]]
+
+    if n_nodes <= broadcast_limit:
+        seed_df = seeds.to_pandas()
+        seed_s = seed_df.set_index("node")["label"]
+        state = seed_s.copy()
+        for _ in range(rounds):
+            ref = ray.put(state)
+
+            def contribs(b: pd.DataFrame) -> pa.Table:
+                st = ray.get(ref)
+                lab = st.reindex(b["u"]).to_numpy()
+                has = ~pd.isna(lab)
+                part = (pd.DataFrame({
+                    "node": b["v"].to_numpy()[has],
+                    "label": lab[has].astype(np.int64),
+                    "s": b["w"].to_numpy(np.int64)[has],
+                }).groupby(["node", "label"], sort=False)["s"].sum()
+                    .reset_index())
+                return to_arrow(part)
+
+            summed = preagg_groupby_ds(
+                edges.map_batches(contribs, batch_format="pandas"),
+                ["node", "label"], {"s": ("s", "sum")},
+            ).to_pandas()
+            won = argmax_frame(summed).set_index("node")["label"]
+            won.update(seed_s)          # seeds are clamped
+            state = won.combine_first(seed_s).astype(np.int64)
+        return (state.rename("label").reset_index()
+                [["node", "label"]].reset_index(drop=True))
+
+    # join route: state stays distributed
+    state_ds = seeds.materialize()
+    num_parts = 64
+    for _ in range(rounds):
+        joined = hash_join(edges, state_ds, on=["u"], right_on=["node"])
+
+        def contribs_j(b: pd.DataFrame) -> pa.Table:
+            part = (pd.DataFrame({
+                "node": b["v"],
+                "label": b["label"].astype(np.int64),
+                "s": b["w"].to_numpy(np.int64),
+            }).groupby(["node", "label"], sort=False)["s"].sum()
+                .reset_index())
+            return to_arrow(part)
+
+        summed = preagg_groupby_ds(
+            joined.map_batches(contribs_j, batch_format="pandas"),
+            ["node", "label"], {"s": ("s", "sum")},
+        )
+
+        # distributed argmax + seed clamp, co-partitioned by node hash
+        def tag_cand(b: pd.DataFrame) -> pa.Table:
+            out = b[["node", "label", "s"]].copy()
+            out["pri"] = np.int8(1)
+            out["part"] = partition_vec(out["node"], num_parts)
+            return to_arrow(out)
+
+        def tag_seed(b: pd.DataFrame) -> pa.Table:
+            out = b[["node", "label"]].copy()
+            out["s"] = np.int64(0)
+            out["pri"] = np.int8(0)    # seeds sort first -> always win
+            out["part"] = partition_vec(out["node"], num_parts)
+            return to_arrow(out)
+
+        def pick(g: pd.DataFrame) -> pa.Table:
+            sv = g.sort_values(["node", "pri", "s", "label"],
+                               ascending=[True, True, False, True],
+                               kind="mergesort")
+            return to_arrow(sv.drop_duplicates("node")[["node", "label"]])
+
+        both = summed.map_batches(tag_cand, batch_format="pandas").union(
+            seeds.map_batches(tag_seed, batch_format="pandas"))
+        state_ds = both.groupby("part").map_groups(
+            pick, batch_format="pandas").materialize()
+    return state_ds
+
+
+def symmetrize_int_edges(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    scale: float = 1.0,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Directed weighted edges -> deduped undirected edges with BOTH
+    directions present and integer weights ``round(w * scale)`` — the
+    input contract of :func:`label_propagation`. Assumes the weight is a
+    symmetric function of the endpoints (cosine is), so duplicate
+    (a, b) rows agree; dedupe is one pair-hash shuffle."""
+    from ..functions.hashing import hash64_vec
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def orient(batch: pd.DataFrame) -> pa.Table:
+        s = batch[src_col].to_numpy(np.int64)
+        d = batch[dst_col].to_numpy(np.int64)
+        keep = s != d
+        out = pd.DataFrame({
+            "a": np.minimum(s[keep], d[keep]),
+            "b": np.maximum(s[keep], d[keep]),
+            "w": np.rint(batch[weight_col].to_numpy(np.float64)[keep]
+                         * scale).astype(np.int64),
+        }).drop_duplicates(["a", "b"])
+        out["part"] = ((hash64_vec(out["a"].to_numpy()) * GOLD
+                        ^ hash64_vec(out["b"].to_numpy())) % P
+                       ).astype(np.int32)
+        return to_arrow(out)
+
+    def dedupe_and_mirror(g: pd.DataFrame) -> pa.Table:
+        e = g.drop_duplicates(["a", "b"])
+        return to_arrow(pd.DataFrame({
+            "u": np.concatenate([e["a"].to_numpy(), e["b"].to_numpy()]),
+            "v": np.concatenate([e["b"].to_numpy(), e["a"].to_numpy()]),
+            "w": np.concatenate([e["w"].to_numpy()] * 2),
+        }))
+
+    return edges.map_batches(orient, batch_format="pandas") \
+        .groupby("part").map_groups(dedupe_and_mirror,
+                                    batch_format="pandas")

@@ -1003,3 +1003,62 @@ def test_ewma_by_key_matches_explicit_recurrence(ray_session):
     assert len(out) == n
     np.testing.assert_array_equal(out["ewma"].to_numpy(),
                                   truth["w"].to_numpy())
+
+
+def test_label_propagation_routes_vs_bruteforce(ray_session):
+    """label_propagation == an explicit per-round simulation (weighted
+    majority, ties -> smallest label, seeds clamped, monotone labeled
+    set) on BOTH routes (broadcast state and forced join-route state)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.graph import label_propagation
+
+    rng = np.random.RandomState(33)
+    n = 60
+    und = {(a, b) for a in range(n) for b in range(a + 1, n)
+           if rng.rand() < 0.08}
+    w = {e: int(rng.randint(1, 100)) for e in und}
+    edges_df = pd.DataFrame(
+        [(u, v, w[(u, v)]) for u, v in und]
+        + [(v, u, w[(u, v)]) for u, v in und],
+        columns=["u", "v", "w"])
+    seeds_df = pd.DataFrame({
+        "node": np.arange(0, n, 7, dtype=np.int64),
+        "label": (np.arange(0, n, 7) % 3).astype(np.int64),
+    })
+
+    # explicit simulation
+    state = dict(zip(seeds_df["node"], seeds_df["label"]))
+    seed_set = dict(state)
+    for _ in range(3):
+        contrib = {}
+        for _, (u, v, wt) in edges_df.iterrows():
+            if u in state:
+                contrib.setdefault(v, {}).setdefault(state[u], 0)
+                contrib[v][state[u]] += wt
+        new = dict(seed_set)
+        for node, by_label in contrib.items():
+            if node in seed_set:
+                continue
+            best = sorted(by_label.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[node] = best
+        state = new
+    want = dict(state)
+
+    edges = rd.from_arrow(pa.Table.from_pandas(
+        edges_df, preserve_index=False)).repartition(4)
+    seeds = rd.from_arrow(pa.Table.from_pandas(
+        seeds_df, preserve_index=False))
+
+    for limit in (2_000_000, 0):
+        out = label_propagation(edges, seeds, rounds=3,
+                                broadcast_limit=limit)
+        if isinstance(out, rd.Dataset):
+            out = out.to_pandas()
+        got = dict(zip(out["node"].astype(int), out["label"].astype(int)))
+        assert got == want, f"route broadcast_limit={limit}"
+    assert len(want) > len(seeds_df)  # fixture sanity: labels spread
