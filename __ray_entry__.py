@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_orders": q.q3_top_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
+        "q10_returned_revenue": q.q10_returned_revenue,
         "top_customers": q.top_customers,
         "parts_by_type": q.parts_by_type,
         "customers_without_orders": q.customers_without_orders,
@@ -64,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_sessions_salted": q.events_sessions_salted,
         "events_user_stats": q.events_user_stats,
+        "events_user_top_type": q.events_user_top_type,
+        "events_unique_users_by_type": q.events_unique_users_by_type,
         "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -412,6 +415,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l.l_orderkey
             LIMIT 10
         """,
+        # Q10 twin: per-customer returned revenue rounded BEFORE ranking so
+        # the top-20 cut and its ties match the Ray round-before-truncate.
+        "q10_returned_revenue": """
+            WITH per_cust AS (
+                SELECT o.o_custkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                             2) AS revenue
+                FROM lineitem l JOIN orders o
+                     ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+                   p.revenue
+            FROM per_cust p
+            JOIN customer c ON c.c_custkey = p.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY p.revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
         "q5_nation_revenue": """
             SELECT n.n_name,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -522,6 +545,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderstatus
             ORDER BY o.o_orderstatus
+        """,
+        # Grouped-mode twin: per-user (type,count), argmax by
+        # (count desc, type asc) via row_number.
+        "events_user_top_type": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, n FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n DESC, event_type) AS rn
+                FROM c) WHERE rn = 1
+        """,
+        "events_unique_users_by_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_user_stats": """
             SELECT user_id, count(*) AS n_events,

@@ -179,6 +179,50 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("n_name").reset_index(drop=True)
 
 
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items. Fact side: lineitem filtered to returns at the scan ⋈ orders
+    (distributed hash join), pre-aggregated to one row per customer BEFORE
+    any dimension touch; the customer+nation dimensions then attach to the
+    small aggregate, never to the fact stream. Ranking uses the rounded
+    revenue (round-before-truncate) so ties break identically in SQL."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+
+    def returns_only(b: pd.DataFrame) -> pa.Table:
+        from ..stages.relational import to_arrow
+        s = b[b["l_returnflag"] == "R"].copy()
+        s["revenue"] = s["l_extendedprice"] * (1.0 - s["l_discount"])
+        return to_arrow(s[["l_orderkey", "revenue"]])
+
+    joined = hash_join(
+        li.map_batches(returns_only, batch_format="pandas"),
+        orders.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+            batch_format="pyarrow"),
+        on=["l_orderkey"],
+    )
+    per_cust = preagg_groupby(joined, ["o_custkey"],
+                              {"revenue": ("revenue", "sum")})
+    per_cust["revenue"] = round_half_away(
+        per_cust["revenue"].to_numpy(np.float64), 2)
+    top = per_cust.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True],
+        kind="mergesort").head(20)
+
+    cust = _read_pdf(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    nation = _read_pdf(sf_dir, "nation")
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+             .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out[["c_custkey", "c_name", "n_name", "c_acctbal", "revenue"]]
+    return out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True],
+        kind="mergesort").reset_index(drop=True)
+
+
 def top_customers(sf_dir: str) -> pd.DataFrame:
     """Top-10 customers by total order price: fully distributed per-customer
     aggregate (high-cardinality at scale) + broadcast name join (customer is
@@ -440,6 +484,69 @@ def events_view_then_purchase(sf_dir: str) -> rd.Dataset:
         return to_arrow(out[["view_id", "purchase_id"]])
 
     return pairs.map_batches(finish, batch_format="pandas")
+
+
+def events_user_top_type(sf_dir: str) -> rd.Dataset:
+    """Grouped mode (argmax aggregate): each user's most frequent event
+    type, ties -> lexicographically smallest type — one distributed
+    (user,type) count combine, then the existing bounded `groupwise_head`
+    partition kernel picks the per-user winner (k=1 on (-n, type) order);
+    no per-key UDFs, output self-capped at one row per user."""
+    from ..stages.relational import groupwise_head, preagg_groupby_ds, to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partials(b: pd.DataFrame) -> pa.Table:
+        part = (b.groupby(["user_id", "event_type"], sort=False)
+                .size().reset_index(name="n"))
+        part["n"] = part["n"].astype(np.int64)
+        return to_arrow(part)
+
+    counts = preagg_groupby_ds(
+        events.map_batches(pair_partials, batch_format="pandas"),
+        ["user_id", "event_type"], {"n": ("n", "sum")},
+    )
+
+    def add_neg(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["neg_n"] = -out["n"].to_numpy(np.int64)
+        return to_arrow(out)
+
+    top = groupwise_head(
+        counts.map_batches(add_neg, batch_format="pandas"),
+        key_col="user_id", order_cols=["neg_n", "event_type"], k=1,
+    )
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(b[["user_id", "event_type", "n"]])
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def events_unique_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact COUNT(DISTINCT): unique users per event type via
+    the two-level combine — per-batch distinct (type,user) pairs, one
+    global pair combine (shuffle moves distinct-per-batch rows only), then
+    a vocabulary-sized per-type row count."""
+    from ..stages.relational import preagg_groupby, preagg_groupby_ds, to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_pairs(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(
+            b[["event_type", "user_id"]].drop_duplicates())
+
+    pairs = preagg_groupby_ds(
+        events.map_batches(distinct_pairs, batch_format="pandas")
+        .map_batches(lambda b: to_arrow(b.assign(one=np.int64(1))),
+                     batch_format="pandas"),
+        ["event_type", "user_id"], {"one": ("one", "min")},
+    )
+    out = preagg_groupby(pairs, ["event_type"],
+                         {"n_users": ("one", "count")})
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return (out[["event_type", "n_users"]]
+            .sort_values("event_type").reset_index(drop=True))
 
 
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:

@@ -39,6 +39,13 @@ SQL_PAIRED = [
     # inverted-index keyword search
     "docs_chunked", "docs_stopword_strip", "events_rollup",
     "docs_keyword_search", "docs_bm25_top10", "events_pagerank",
+    # round-4: interval join, decontamination, repetition scoring, kNN
+    # graph + triangles + label propagation, EWMA, grouped mode, exact
+    # distributed count-distinct, Q10 join chain
+    "events_view_then_purchase", "docs_decontaminate", "docs_repetition",
+    "emb_knn_graph", "emb_graph_triangles", "emb_label_prop",
+    "events_user_ewma", "events_user_top_type",
+    "events_unique_users_by_type", "q10_returned_revenue",
 ]
 
 
