@@ -465,17 +465,18 @@ def events_view_then_purchase(sf_dir: str) -> rd.Dataset:
     events = _read(sf_dir, "events",
                    columns=["event_id", "ts", "user_id", "event_type"])
 
-    def side(keep: str):
-        def prep(b: pd.DataFrame) -> pa.Table:
-            s = b[b["event_type"] == keep].copy()
-            s["ep"] = (s["ts"].astype("datetime64[us]").astype("int64")
-                       // 1_000_000)
-            return to_arrow(s[["event_id", "user_id", "ep"]])
-
-        return events.map_batches(prep, batch_format="pandas")
+    # single-source mode: views and purchases are carved from ONE scan
+    # (side 0 = view, side 1 = purchase) instead of reading events twice
+    def prep(b: pd.DataFrame) -> pa.Table:
+        s = b[b["event_type"].isin(["view", "purchase"])].copy()
+        s["ep"] = (s["ts"].astype("datetime64[us]").astype("int64")
+                   // 1_000_000)
+        s["side"] = np.where(s["event_type"].to_numpy() == "view",
+                             np.int8(0), np.int8(1))
+        return to_arrow(s[["event_id", "user_id", "ep", "side"]])
 
     pairs = interval_join(
-        side("view"), side("purchase"),
+        events.map_batches(prep, batch_format="pandas"), None,
         key_col="user_id", time_col="ep", window=1800,
     )
 

@@ -133,11 +133,15 @@ def knn_graph(
     that is the wrong tool; route through :func:`build_ivf_index` /
     :func:`knn_ivf_indexed` per source row instead (the ANN scale path).
     """
+    # materialize the pruned selection ONCE: both the driver collect (for
+    # the broadcast matrix) and the distributed top-k pass consume it, so
+    # the parquet scan doesn't run twice; pinned size is bounded by
+    # broadcast_limit by construction
+    sel = embeddings.select_columns(["vec_id", "embedding"]).materialize()
     mat_parts: List[np.ndarray] = []
     id_parts: List[np.ndarray] = []
     n_rows = 0
-    for blk in embeddings.select_columns(["vec_id", "embedding"]) \
-            .iter_batches(batch_format="pyarrow"):
+    for blk in sel.iter_batches(batch_format="pyarrow"):
         ids = np.asarray(blk.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(blk.column("embedding").to_pylist(),
                           dtype=np.float64)
@@ -190,7 +194,7 @@ def knn_graph(
                                    picked].ravel(), pa.float64()),
         })
 
-    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+    return sel.map_batches(
         batch_topk, batch_format="pyarrow")
 
 

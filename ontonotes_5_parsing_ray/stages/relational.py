@@ -1141,12 +1141,13 @@ def rolling_by_key(
 
 def interval_join(
     left: rd.Dataset,
-    right: rd.Dataset,
+    right: Optional[rd.Dataset],
     key_col: str,
     time_col: str,
     window: int,
     id_col: str = "event_id",
     num_partitions: int = 64,
+    side_col: str = "side",
 ) -> rd.Dataset:
     """Stream-stream interval join: every left row pairs with ALL right
     rows of the same key strictly after it within ``window`` time units
@@ -1164,22 +1165,38 @@ def interval_join(
     ``time_col`` must be integer epoch units on both sides (callers floor
     timestamps first, as the LAG/session operators do).
 
+    Single-source mode: when both sides are carved out of ONE table (the
+    common case — views and purchases live in the same event stream),
+    pass ``right=None`` and give ``left`` an int8 ``side_col`` (0=left,
+    1=right). The source is then scanned ONCE, not once per side.
+
     Returns ``(key, l_id, r_id, l_time, r_time)``.
     """
     from ..functions.hashing import hash64_vec
 
     GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    def tag(ds: rd.Dataset, is_left: bool) -> rd.Dataset:
+    def tag(ds: rd.Dataset, is_left: Optional[bool]) -> rd.Dataset:
         def prep(b: pd.DataFrame) -> pa.Table:
             t = b[time_col].to_numpy(np.int64)
+            sides = (np.full(len(b), 0 if is_left else 1, dtype=np.int8)
+                     if is_left is not None
+                     else b[side_col].to_numpy(np.int8))
             base = pd.DataFrame({
                 "key": b[key_col].to_numpy(),
                 "rid": b[id_col].to_numpy(),
                 "t": t,
-                "side": np.int8(0) if is_left else np.int8(1),
+                "side": sides,
             })
-            if is_left:
+            if is_left is None:
+                l, r = base[sides == 0], base[sides == 1]
+                tl = l["t"].to_numpy()
+                out = pd.concat([
+                    l.assign(bucket=tl // window),
+                    l.assign(bucket=tl // window + 1),
+                    r.assign(bucket=r["t"].to_numpy() // window),
+                ], ignore_index=True)
+            elif is_left:
                 # replicate into the row's own bucket and the next one
                 b0 = base.assign(bucket=t // window)
                 b1 = base.assign(bucket=t // window + 1)
@@ -1230,7 +1247,8 @@ def interval_join(
         })
         return to_arrow(out)
 
-    both = tag(left, True).union(tag(right, False))
+    both = (tag(left, None) if right is None
+            else tag(left, True).union(tag(right, False)))
     return both.groupby("part").map_groups(
         join_partition, batch_format="pandas")
 
