@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": q.events_user_stats,
         "events_user_top_type": q.events_user_top_type,
         "events_unique_users_by_type": q.events_unique_users_by_type,
+        # approximate by construction (HLL sketch): rows-only check; the
+        # pytest gate bounds error vs the exact combine at < 5%
+        "events_hll_users_by_type": q.events_hll_users_by_type,
         "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,

@@ -1,0 +1,73 @@
+"""Mergeable sketches for approximate distributed aggregates.
+
+HyperLogLog is THE 100 TB count-distinct tool: exact distinct counting
+needs a shuffle that moves every distinct value once (implemented in
+``queries.events_unique_users_by_type``), while an HLL register array is a
+few KB per group, merges by elementwise max (commutative, associative,
+idempotent — safe under task re-execution), and answers within
+~1.04/sqrt(m).
+
+Pure-kernel module: numpy only, no Ray imports, deterministic (value
+hashing via the fixed-key siphash in :mod:`functions.hashing`), so the
+same sketch built on the driver, in a test, or in a distributed partial is
+byte-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash64_vec
+
+# 2^P registers. P=12 -> 4096 bytes per sketch, relative error
+# 1.04/sqrt(4096) ~= 1.6% — the classic storage/accuracy sweet spot.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+# bias constant alpha_m for m >= 128 (Flajolet et al. 2007)
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_new() -> np.ndarray:
+    """Empty register array (uint8[m])."""
+    return np.zeros(HLL_M, dtype=np.uint8)
+
+
+def hll_add(registers: np.ndarray, values) -> np.ndarray:
+    """Fold a batch of values into ``registers`` in place (vectorized):
+    register index = top P hash bits, rank = leading-zero count of the
+    remaining 64-P bits + 1."""
+    if len(values) == 0:
+        return registers
+    h = hash64_vec(values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # low 64-P bits shifted to the top
+    # rank = position of the first 1-bit in `rest` (1-based), capped
+    rank = np.ones(len(h), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    live = rest.copy()
+    # vectorized leading-zero count: 64-P iterations max, each a cheap
+    # bitwise pass over the batch (numpy has no clz kernel)
+    for _ in range(64 - HLL_P):
+        zero_top = (live & mask) == 0
+        undecided = zero_top & (live != 0)
+        rank[undecided] += 1
+        live = np.where(undecided, live << np.uint64(1), np.uint64(0))
+    rank[rest == 0] = np.uint8(64 - HLL_P + 1)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two sketches: elementwise max (idempotent)."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Cardinality estimate with the standard small-range (linear
+    counting) correction."""
+    m = float(HLL_M)
+    est = _ALPHA * m * m / float(np.sum(np.exp2(-registers.astype(np.float64))))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return est

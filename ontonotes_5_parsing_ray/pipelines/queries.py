@@ -550,6 +550,48 @@ def events_unique_users_by_type(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT) via mergeable HyperLogLog sketches —
+    the 100 TB path: each batch folds its users into a 4 KB register
+    array per event type (`functions.sketches`), partials merge by
+    elementwise max (idempotent under re-execution), so the combine moves
+    KILOBYTES per group instead of every distinct value. No SQL twin by
+    construction (approximate); the pytest gate bounds the error vs the
+    exact two-level combine at < 5%."""
+    from ..functions.sketches import HLL_M, hll_add, hll_estimate, hll_new
+    from ..stages.relational import to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def sketch_partials(b: pd.DataFrame) -> pa.Table:
+        rows = []
+        for et, g in b.groupby("event_type", sort=False):
+            regs = hll_add(hll_new(), g["user_id"].to_numpy())
+            rows.append((et, regs.tobytes()))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "regs": pa.array([r[1] for r in rows], pa.binary()),
+        })
+
+    partials = events.map_batches(
+        sketch_partials, batch_format="pandas")
+
+    def merge_group(g: pd.DataFrame) -> pa.Table:
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                       out=merged)
+        return to_arrow(pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users_approx": [int(round(hll_estimate(merged)))],
+        }))
+
+    out = (partials.groupby("event_type")
+           .map_groups(merge_group, batch_format="pandas").to_pandas())
+    out["n_users_approx"] = out["n_users_approx"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join showcase: every 'view' event picks up the user's most
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream

@@ -175,3 +175,33 @@ def test_repetition_score_hand_cases():
     assert repetition_score("q q q q") == 1.0
     assert repetition_score("one") == -1.0
     assert repetition_score("") == -1.0
+
+
+def test_hll_sketch_accuracy_and_merge_laws():
+    """HLL: estimate within 5% at several cardinalities; merge is
+    commutative/idempotent and equals the sketch of the union."""
+    import numpy as np
+
+    from ontonotes_5_parsing_ray.functions.sketches import (
+        hll_add, hll_estimate, hll_merge, hll_new,
+    )
+
+    for n in (50, 1_000, 20_000, 200_000):
+        vals = np.arange(n, dtype=np.int64) * 7 + 13
+        est = hll_estimate(hll_add(hll_new(), vals))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+    a_vals = np.arange(0, 5_000, dtype=np.int64)
+    b_vals = np.arange(2_500, 9_000, dtype=np.int64)
+    a = hll_add(hll_new(), a_vals)
+    b = hll_add(hll_new(), b_vals)
+    ab, ba = hll_merge(a, b), hll_merge(b, a)
+    assert (ab == ba).all()
+    assert (hll_merge(ab, ab) == ab).all()          # idempotent
+    union = hll_add(hll_new(), np.concatenate([a_vals, b_vals]))
+    assert (ab == union).all()                      # merge == union sketch
+    # split-into-batches == one pass (the distributed partials contract)
+    split = hll_new()
+    for chunk in np.array_split(a_vals, 7):
+        hll_add(split, chunk)
+    assert (split == a).all()

@@ -1062,3 +1062,23 @@ def test_label_propagation_routes_vs_bruteforce(ray_session):
         got = dict(zip(out["node"].astype(int), out["label"].astype(int)))
         assert got == want, f"route broadcast_limit={limit}"
     assert len(want) > len(seeds_df)  # fixture sanity: labels spread
+
+
+def test_hll_query_within_error_bound(ray_session):
+    """events_hll_users_by_type within 5% of the exact distributed
+    count-distinct on every event type (the rows-only rationale for the
+    sketch query)."""
+    from tests.conftest import SF_DIR
+
+    from ontonotes_5_parsing_ray.pipelines.queries import (
+        events_hll_users_by_type,
+        events_unique_users_by_type,
+    )
+
+    approx = events_hll_users_by_type(SF_DIR).set_index("event_type")
+    exact = events_unique_users_by_type(SF_DIR).set_index("event_type")
+    assert set(approx.index) == set(exact.index)
+    for et in exact.index:
+        a = int(approx.loc[et, "n_users_approx"])
+        e = int(exact.loc[et, "n_users"])
+        assert abs(a - e) / max(e, 1) < 0.05, (et, a, e)
