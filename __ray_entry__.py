@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by construction (HLL sketch): rows-only check; the
         # pytest gate bounds error vs the exact combine at < 5%
         "events_hll_users_by_type": q.events_hll_users_by_type,
+        "events_user_pivot": q.events_user_pivot,
+        "events_funnel_conversion": q.events_funnel_conversion,
         "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -566,6 +568,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Pivot twin: one FILTER aggregate per type column.
+        "events_user_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # Funnel twin: converters via EXISTS over the same BETWEEN
+        # predicate as the interval-join oracle.
+        "events_funnel_conversion": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events
+            ), viewers AS (
+                SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+            ), converters AS (
+                SELECT DISTINCT l.user_id
+                FROM e l
+                WHERE l.event_type = 'view' AND EXISTS (
+                    SELECT 1 FROM e r
+                    WHERE r.user_id = l.user_id
+                      AND r.event_type = 'purchase'
+                      AND r.ep > l.ep AND r.ep <= l.ep + 1800)
+            )
+            SELECT (SELECT count(*) FROM viewers)::BIGINT AS n_viewers,
+                   (SELECT count(*) FROM converters)::BIGINT
+                       AS n_converters,
+                   round((SELECT count(*) FROM converters)::DOUBLE
+                         / (SELECT count(*) FROM viewers), 6)
+                       AS conversion_rate
         """,
         "events_user_stats": """
             SELECT user_id, count(*) AS n_events,

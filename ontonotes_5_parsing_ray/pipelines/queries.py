@@ -550,6 +550,82 @@ def events_unique_users_by_type(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_user_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot (long -> wide aggregate): one row per user with a count
+    column per event type — map-side `pd.crosstab` partials reindexed to
+    the fixed type vocabulary, then ONE distributed sum combine over 5
+    int columns (no explode, no per-type scans)."""
+    from ..stages.relational import preagg_groupby_ds, to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def wide_partials(b: pd.DataFrame) -> pa.Table:
+        ct = pd.crosstab(b["user_id"], b["event_type"]) \
+            .reindex(columns=_EVENT_TYPES, fill_value=0)
+        ct.columns = cols
+        out = ct.reset_index()
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return to_arrow(out)
+
+    return preagg_groupby_ds(
+        events.map_batches(wide_partials, batch_format="pandas"),
+        ["user_id"], {c: (c, "sum") for c in cols},
+    )
+
+
+def events_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Funnel composition: of the users who viewed anything, how many
+    purchased within 30 minutes of some view — the interval join feeding
+    two distinct-user counts (map-side distinct partials, one combine
+    each; converters derive from the join's own key column)."""
+    from ..stages.relational import interval_join, preagg_groupby_ds, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        s = b[b["event_type"].isin(["view", "purchase"])].copy()
+        s["ep"] = (s["ts"].astype("datetime64[us]").astype("int64")
+                   // 1_000_000)
+        s["side"] = np.where(s["event_type"].to_numpy() == "view",
+                             np.int8(0), np.int8(1))
+        return to_arrow(s[["event_id", "user_id", "ep", "side"]])
+
+    tagged = events.map_batches(prep, batch_format="pandas") \
+        .materialize()  # feeds both the viewer count and the join
+    pairs = interval_join(tagged, None, key_col="user_id",
+                          time_col="ep", window=1800)
+
+    def distinct_users(ds: rd.Dataset, col: str) -> int:
+        def part(b: pd.DataFrame) -> pa.Table:
+            return to_arrow(pd.DataFrame(
+                {"u": pd.unique(b[col]), "one": np.int64(1)}))
+
+        return preagg_groupby_ds(
+            ds.map_batches(part, batch_format="pandas"),
+            ["u"], {"one": ("one", "min")}).count()
+
+    def viewers_only(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(b[b["side"] == 0][["user_id"]])
+
+    n_viewers = distinct_users(
+        tagged.map_batches(viewers_only, batch_format="pandas"),
+        "user_id")
+    n_converters = distinct_users(pairs, "key")
+    rate = round_half_away(
+        n_converters / n_viewers if n_viewers else 0.0, 6)
+    return pd.DataFrame({
+        "n_viewers": pd.Series([n_viewers], dtype="int64"),
+        "n_converters": pd.Series([n_converters], dtype="int64"),
+        "conversion_rate": pd.Series([rate], dtype="float64"),
+    })
+
+
 def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT) via mergeable HyperLogLog sketches —
     the 100 TB path: each batch folds its users into a 4 KB register

@@ -46,6 +46,7 @@ SQL_PAIRED = [
     "emb_knn_graph", "emb_graph_triangles", "emb_label_prop",
     "events_user_ewma", "events_user_top_type",
     "events_unique_users_by_type", "q10_returned_revenue",
+    "events_user_pivot", "events_funnel_conversion",
 ]
 
 
