@@ -659,40 +659,29 @@ def events_last_purchase(sf_dir: str) -> pd.DataFrame:
     recent prior-or-same-instant 'purchase' (ep + value). Both sides stream
     through one co-partitioned union; each partition runs one vectorized
     ``pd.merge_asof``. Oracle = DuckDB's native ASOF LEFT JOIN."""
-    from ..stages.relational import asof_join, preagg_groupby_ds
+    from ..stages.relational import asof_join, to_arrow
 
     events = _read(sf_dir, "events",
                    columns=["event_id", "ts", "user_id", "event_type", "value"])
 
-    def side(keep_type: str, cols):
-        def fn(batch: pd.DataFrame) -> pa.Table:
-            b = batch[batch["event_type"] == keep_type].copy()
-            b["ep"] = (b["ts"].astype("datetime64[us]").astype("int64")
-                       // 1_000_000)
-            from ..stages.relational import to_arrow
-            return to_arrow(b[cols])
-        return fn
-
-    views = events.map_batches(
-        side("view", ["event_id", "user_id", "ep", "value"]),
-        batch_format="pandas")
-    # one purchase row per (user, second): (by, on) ties collapse to
-    # max(pvalue) INSIDE the as-of partitions (right_dedup_max) — no
-    # pre-aggregation shuffle, and the pick is well-defined on BOTH engines
-
-    def purchase_side(batch: pd.DataFrame) -> pa.Table:
-        b = batch[batch["event_type"] == "purchase"].copy()
+    # single-source mode: views (side 0) and purchases (side 1) are carved
+    # from ONE scan; wrong-side cells are ignored by the merge kernel.
+    # (by, on) purchase ties collapse to max(pvalue) INSIDE the as-of
+    # partitions (right_dedup_max) — no pre-aggregation shuffle.
+    def prep(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["event_type"].isin(["view", "purchase"])].copy()
         b["ep"] = (b["ts"].astype("datetime64[us]").astype("int64")
                    // 1_000_000)
-        b = b.rename(columns={"value": "pvalue"})
-        b["pep"] = b["ep"]
-        from ..stages.relational import to_arrow
-        return to_arrow(b[["user_id", "ep", "pvalue", "pep"]])
-
-    purchases = events.map_batches(purchase_side, batch_format="pandas")
+        is_view = b["event_type"].to_numpy() == "view"
+        b["_side"] = np.where(is_view, np.int8(0), np.int8(1))
+        b["pvalue"] = np.where(is_view, np.nan, b["value"])
+        b["pep"] = b["ep"].astype("float64")
+        return to_arrow(b[["user_id", "ep", "event_id", "value",
+                           "pvalue", "pep", "_side"]])
 
     joined = asof_join(
-        views, purchases, by="user_id", on="ep",
+        events.map_batches(prep, batch_format="pandas"), None,
+        by="user_id", on="ep",
         left_cols=["user_id", "ep", "event_id", "value"],
         right_cols=["user_id", "ep", "pvalue", "pep"],
         right_dedup_max="pvalue",

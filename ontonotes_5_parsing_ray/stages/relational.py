@@ -693,7 +693,8 @@ def asof_join(
         except Exception:
             cpus = 8
         num_partitions = _auto_join_partitions(
-            cpus, _known_size_bytes(left), _known_size_bytes(right))
+            cpus, _known_size_bytes(left),
+            None if right is None else _known_size_bytes(right))
 
     left_only = [c for c in left_cols if c not in (by, on)]
     right_only = [c for c in right_cols if c not in (by, on)]
@@ -751,9 +752,33 @@ def asof_join(
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
         return to_arrow(out)
 
-    tagged = left.map_batches(tag(0, left_cols), batch_format="pandas").union(
-        right.map_batches(tag(1, right_cols), batch_format="pandas")
-    )
+    if right is None:
+        # single-source mode (same contract as interval_join): both sides
+        # are carved out of ONE stream — ``left`` carries every union
+        # column plus an int8 ``_side`` (0=left, 1=right) and is scanned
+        # ONCE. Wrong-side cells may hold anything: the merge kernel
+        # slices each side's own columns. Unsalted route only.
+        if salt_bucket is not None:
+            raise ValueError(
+                "single-source asof_join does not compose with "
+                "salt_bucket; pass explicit left/right datasets")
+
+        def tag_combined(batch: pd.DataFrame) -> pa.Table:
+            df = pd.DataFrame({
+                c: batch[c].astype("float64")
+                for c in union_cols if c not in (by, on)
+            })
+            df.insert(0, by, batch[by])
+            df.insert(1, on, batch[on])
+            df["_side"] = batch["_side"].to_numpy().astype(np.int8)
+            df["part"] = _part_col(df)
+            return to_arrow(df[union_cols + ["_side", "part"]])
+
+        tagged = left.map_batches(tag_combined, batch_format="pandas")
+    else:
+        tagged = left.map_batches(
+            tag(0, left_cols), batch_format="pandas"
+        ).union(right.map_batches(tag(1, right_cols), batch_format="pandas"))
 
     if salt_bucket is None:
         return tagged.groupby("part").map_groups(
