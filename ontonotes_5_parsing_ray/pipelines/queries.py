@@ -638,18 +638,27 @@ def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     partials = events.map_batches(
         sketch_partials, batch_format="pandas")
 
-    def merge_group(g: pd.DataFrame) -> pa.Table:
-        merged = np.zeros(HLL_M, dtype=np.uint8)
-        for blob in g["regs"]:
-            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
-                       out=merged)
+    # group-hash partition kernel (NOT one map_groups call per group):
+    # all of a group's sketches co-locate, each partition merges its
+    # groups in one pass — bounded work at millions of groups too
+    def merge_kernel(g: pd.DataFrame) -> pa.Table:
+        types, ests = [], []
+        for et, rows in g.groupby("event_type", sort=False)["regs"]:
+            merged = np.zeros(HLL_M, dtype=np.uint8)
+            for blob in rows:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                           out=merged)
+            types.append(et)
+            ests.append(int(round(hll_estimate(merged))))
         return to_arrow(pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "n_users_approx": [int(round(hll_estimate(merged)))],
+            "event_type": pd.Series(types, dtype=object),
+            "n_users_approx": pd.Series(ests, dtype=np.int64),
         }))
 
-    out = (partials.groupby("event_type")
-           .map_groups(merge_group, batch_format="pandas").to_pandas())
+    from ..stages.relational import partition_map_groups
+    out = partition_map_groups(
+        partials, "event_type", merge_kernel, num_partitions=16,
+    ).to_pandas()
     out["n_users_approx"] = out["n_users_approx"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
 

@@ -26,6 +26,10 @@ import ray.data as rd
 
 from .relational import hash_join, preagg_groupby_ds, to_arrow
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 __all__ = ["pagerank", "triangle_counts", "label_propagation",
            "symmetrize_int_edges"]
 
@@ -128,11 +132,20 @@ def pagerank(
     return ranks_ds
 
 
+# Per-node wedge cap: a node of degree d expands to d(d-1)/2 wedge rows —
+# the same quadratic shape as an LSH hot bucket. Nodes beyond the cap keep
+# only their max_degree smallest-id neighbors (logged), bounding any
+# partition's expansion at max_degree^2/2 regardless of input skew. kNN
+# graphs (deg <= 2k) never hit it.
+TRIANGLE_MAX_DEGREE = 4096
+
+
 def triangle_counts(
     edges: rd.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int = 64,
+    max_degree: int = TRIANGLE_MAX_DEGREE,
 ) -> rd.Dataset:
     """Per-node triangle counts over an undirected simple graph (edges may
     arrive directed/duplicated; they are canonicalized first). Returns
@@ -155,9 +168,12 @@ def triangle_counts(
     Partitioning assumption: per-node degree must fit a partition's wedge
     expansion (deg^2/2 rows) — guaranteed for kNN graphs (deg <= 2k) and
     any degree-capped similarity graph, which is this operator's intended
-    input. Power-law webgraphs need the degree-ordered orientation
-    refinement (each wedge charged to its LOWEST-degree corner), noted
-    here and intentionally out of scope.
+    input; ``max_degree`` fail-safes the assumption (hotter nodes keep
+    their max_degree smallest-id neighbors, with a logged drop count, so
+    a degenerate hub cannot go quadratic). Power-law webgraphs wanting
+    exact counts need the degree-ordered orientation refinement (each
+    wedge charged to its LOWEST-degree corner), intentionally out of
+    scope.
     """
     from ..functions.hashing import hash64_vec
 
@@ -207,14 +223,23 @@ def triangle_counts(
             np.r_[True, nodes[1:] != nodes[:-1]])
         ends = np.r_[starts[1:], len(nodes)]
         w_u, w_v, w_c = [], [], []
+        dropped = 0
         for s, e in zip(starts, ends):
             nb = np.unique(nbrs[s:e])  # dedupes cross-batch edge copies
+            if len(nb) > max_degree:
+                dropped += len(nb) - max_degree
+                nb = nb[:max_degree]
             if len(nb) < 2:
                 continue
             iu, ju = np.triu_indices(len(nb), 1)
             w_u.append(nb[iu])
             w_v.append(nb[ju])
             w_c.append(np.full(len(iu), nodes[s], dtype=np.int64))
+        if dropped:
+            logger.warning(
+                "triangle_counts max_degree=%d dropped %d neighbor slots "
+                "on hub nodes (counts on those hubs are lower bounds)",
+                max_degree, dropped)
         if not w_u:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),

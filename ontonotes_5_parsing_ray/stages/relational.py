@@ -1237,6 +1237,14 @@ def interval_join(
     def tag(ds: rd.Dataset, is_left: Optional[bool]) -> rd.Dataset:
         def prep(b: pd.DataFrame) -> pa.Table:
             t = b[time_col].to_numpy(np.int64)
+            # fail-stop: the join kernel packs (group_id << 32 | t) into
+            # one uint64 — microsecond epochs (or negatives) would corrupt
+            # the packing SILENTLY, so reject them loudly here
+            if len(t) and (t.min() < 0 or t.max() >= (1 << 32)):
+                raise ValueError(
+                    f"interval_join time_col '{time_col}' must be a "
+                    "non-negative integer < 2^32 (epoch SECONDS, not "
+                    "micro/milliseconds — floor first)")
             sides = (np.full(len(b), 0 if is_left else 1, dtype=np.int8)
                      if is_left is not None
                      else b[side_col].to_numpy(np.int8))

@@ -1082,3 +1082,41 @@ def test_hll_query_within_error_bound(ray_session):
         a = int(approx.loc[et, "n_users_approx"])
         e = int(exact.loc[et, "n_users"])
         assert abs(a - e) / max(e, 1) < 0.05, (et, a, e)
+
+
+def test_triangle_max_degree_cap_and_interval_time_guard(ray_session):
+    """Scale guards: a degenerate hub node cannot blow up wedge expansion
+    (capped, counts become lower bounds, non-hub triangles exact); and
+    interval_join fail-stops on time values that would corrupt its 32-bit
+    packing (microsecond epochs)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.graph import triangle_counts
+    from ontonotes_5_parsing_ray.stages.relational import interval_join
+
+    # star around hub 0 with one real triangle (1-2-0) off to the side
+    hub_edges = [(0, i) for i in range(1, 200)] + [(1, 2)]
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame(hub_edges, columns=["src", "dst"]),
+        preserve_index=False))
+    capped = triangle_counts(ds, num_partitions=4, max_degree=10) \
+        .to_pandas()
+    # hub kept only neighbors 1..10; triangle (0,1,2) still found because
+    # 1 and 2 are among the smallest ids — and NOTHING blew up
+    got = dict(zip(capped["node"].astype(int),
+                   capped["n_triangles"].astype(int)))
+    assert got == {0: 1, 1: 1, 2: 1}
+
+    bad = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ep": pa.array([1_700_000_000_000_000, 1_700_000_100_000_000],
+                       pa.int64()),   # microseconds: > 2^32
+    }))
+    with pytest.raises(Exception, match="2\\^32|epoch SECONDS"):
+        interval_join(bad, bad, key_col="user_id", time_col="ep",
+                      window=1800).count()
