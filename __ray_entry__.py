@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users_by_type": q.events_hll_users_by_type,
         "events_user_pivot": q.events_user_pivot,
         "events_funnel_conversion": q.events_funnel_conversion,
+        "events_purchaser_activity": q.events_purchaser_activity,
         "distinct_event_types": q.distinct_event_types,
         # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -568,6 +569,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Bloom-prefilter composition twin: plain IN — the bloom stage is
+        # a superset prefilter whose exact verify restores IN semantics.
+        "events_purchaser_activity": """
+            SELECT event_type, count(*) AS n_events
+            FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              WHERE event_type = 'purchase')
+            GROUP BY event_type ORDER BY event_type
         """,
         # Pivot twin: one FILTER aggregate per type column.
         "events_user_pivot": """

@@ -71,3 +71,52 @@ def hll_estimate(registers: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the semi-join prefilter for key sets too big to broadcast
+# exactly. Mergeable by bitwise OR (same partial/merge contract as HLL);
+# NO false negatives by construction, so "bloom prefilter -> exact verify"
+# compositions stay exact while the fact stream shrinks by ~(1 - fpr).
+# ---------------------------------------------------------------------------
+
+_BLOOM_H2_KEY = "5c3a91e07bd24f68"
+
+
+def bloom_new(m_bits: int = 1 << 23) -> np.ndarray:
+    """Empty filter (uint8[m_bits/8]); default 1 MiB."""
+    return np.zeros(m_bits >> 3, dtype=np.uint8)
+
+
+def _bloom_idx(values, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing h1 + i*h2 (Kirsch-Mitzenmacher)."""
+    import pandas as pd
+
+    h1 = hash64_vec(values)
+    h2 = pd.util.hash_array(
+        np.asarray(values, dtype=object), hash_key=_BLOOM_H2_KEY,
+        categorize=False) | np.uint64(1)   # odd -> full-period stride
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits))
+
+
+def bloom_add(bits: np.ndarray, values, n_hashes: int = 7) -> np.ndarray:
+    """Fold values into the filter in place (vectorized)."""
+    if len(values) == 0:
+        return bits
+    idx = _bloom_idx(values, len(bits) << 3, n_hashes).ravel()
+    np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                     np.left_shift(np.uint8(1),
+                                   (idx & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values, n_hashes: int = 7) -> np.ndarray:
+    """Vectorized membership mask (true = maybe present; false = DEFINITELY
+    absent)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_idx(values, len(bits) << 3, n_hashes)
+    byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+    hit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+    return hit.all(axis=1)

@@ -612,6 +612,39 @@ def events_funnel_conversion(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def events_purchaser_activity(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered semi join composition: every event of any user
+    who ever purchased, counted per type. The purchaser key set streams
+    into a mergeable Bloom filter (1 MiB regardless of key count —
+    `relational.bloom_semi_join`), the fact scan drops definite
+    non-purchasers at ~0 cost, and the exact verify (broadcast set here;
+    a hash semi-join at set sizes beyond broadcast) touches only the
+    surviving fraction. Exactness restored by the verify: oracle-green."""
+    from ..stages.relational import (
+        bloom_semi_join, broadcast_semi_join, preagg_groupby, to_arrow,
+    )
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def purchasers(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(pd.DataFrame({
+            "user_id": pd.unique(b[b["event_type"] == "purchase"]
+                                 ["user_id"])}))
+
+    keys_ds = events.map_batches(
+        purchasers, batch_format="pandas").materialize()
+    prefiltered = bloom_semi_join(events, keys_ds, "user_id")
+    exact_keys = set(
+        u for blk in keys_ds.iter_batches(batch_format="pandas")
+        for u in blk["user_id"])
+    verified = broadcast_semi_join(prefiltered, exact_keys, "user_id")
+    out = preagg_groupby(verified, ["event_type"],
+                         {"n_events": ("user_id", "count")})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (out[["event_type", "n_events"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT) via mergeable HyperLogLog sketches —
     the 100 TB path: each batch folds its users into a 4 KB register

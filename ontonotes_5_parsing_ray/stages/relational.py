@@ -73,6 +73,54 @@ def broadcast_semi_join(
     return left.map_batches(fil, batch_format="pandas")
 
 
+def bloom_semi_join(
+    left: rd.Dataset,
+    keys_ds: rd.Dataset,
+    key_col: str,
+    keys_col: Optional[str] = None,
+    m_bits: int = 1 << 23,
+    n_hashes: int = 7,
+) -> rd.Dataset:
+    """Bloom-prefiltered semi join: the scale path when the key SET is too
+    big to broadcast exactly (a billion distinct keys as a Python set is
+    tens of GB; the same keys as a Bloom filter are ``m_bits/8`` bytes at
+    a tunable false-positive rate).
+
+    Build is fully distributed and mergeable: each keys batch folds into a
+    local bit array, partials OR together (commutative/idempotent — safe
+    under re-execution) on the driver, and ONE array ships via
+    ``ray.put``. The filtered stream is a SUPERSET of the true semi-join
+    (no false negatives, ~fpr extra rows) — compose with an exact verify
+    (:func:`broadcast_semi_join` or :func:`hash_join`) downstream when
+    exactness is required; the verify then touches only the surviving
+    ~(match + fpr) fraction instead of the whole fact stream.
+    """
+    from ..functions.sketches import bloom_add, bloom_contains, bloom_new
+
+    kc = keys_col or key_col
+
+    def build_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = bloom_new(m_bits)
+        bloom_add(bits, b[kc].to_numpy(), n_hashes)
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    merged = bloom_new(m_bits)
+    for blk in keys_ds.map_batches(
+            build_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for blob in blk["bits"]:
+            np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint8),
+                          out=merged)
+    ref = ray.put(merged)
+
+    def fil(batch: pd.DataFrame) -> pa.Table:
+        bits = ray.get(ref)
+        mask = bloom_contains(bits, batch[key_col].to_numpy(), n_hashes)
+        return to_arrow(batch[mask])
+
+    return left.map_batches(fil, batch_format="pandas")
+
+
 # One join bucket of the larger side should fit comfortably in a worker
 # heap alongside the build table: 256 MiB target per bucket.
 TARGET_JOIN_BUCKET_BYTES = 256 << 20

@@ -205,3 +205,32 @@ def test_hll_sketch_accuracy_and_merge_laws():
     for chunk in np.array_split(a_vals, 7):
         hll_add(split, chunk)
     assert (split == a).all()
+
+
+def test_bloom_filter_laws():
+    """Bloom: zero false negatives always; FPR near theory; partials
+    OR-merge to the same filter as a single pass (distributed contract);
+    string and int keys both supported."""
+    import numpy as np
+
+    from ontonotes_5_parsing_ray.functions.sketches import (
+        bloom_add, bloom_contains, bloom_new,
+    )
+
+    m_bits = 1 << 17
+    present = np.arange(2_000, dtype=np.int64) * 3 + 1
+    bits = bloom_add(bloom_new(m_bits), present)
+    assert bloom_contains(bits, present).all()          # no false negatives
+    absent = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    fpr = float(bloom_contains(bits, absent).mean())
+    # theory: (1 - e^(-kn/m))^k ~ 0.027 for k=7, n=2000, m=2^17
+    assert fpr < 0.06, fpr
+
+    split = bloom_new(m_bits)
+    for chunk in np.array_split(present, 9):
+        bloom_add(split, chunk)
+    assert (split == bits).all()                        # merge == one pass
+
+    sbits = bloom_add(bloom_new(m_bits), ["alpha", "beta"])
+    assert bloom_contains(sbits, ["alpha", "beta"]).all()
+    assert not bloom_contains(sbits, ["gamma-very-absent"]).any()

@@ -1120,3 +1120,38 @@ def test_triangle_max_degree_cap_and_interval_time_guard(ray_session):
     with pytest.raises(Exception, match="2\\^32|epoch SECONDS"):
         interval_join(bad, bad, key_col="user_id", time_col="ep",
                       window=1800).count()
+
+
+def test_bloom_semi_join_superset_and_composition(ray_session):
+    """bloom_semi_join output is a SUPERSET of the exact semi join
+    (never drops a true match) and shrinks toward it; composed with the
+    exact verify it equals the plain semi join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        bloom_semi_join, broadcast_semi_join,
+    )
+
+    rng = np.random.RandomState(3)
+    fact = pd.DataFrame({
+        "k": rng.randint(0, 100_000, size=50_000).astype(np.int64),
+        "v": rng.rand(50_000),
+    })
+    keys = pd.DataFrame({"k": np.arange(0, 100_000, 40, dtype=np.int64)})
+    fact_ds = rd.from_arrow(pa.Table.from_pandas(fact)).repartition(6)
+    keys_ds = rd.from_arrow(pa.Table.from_pandas(keys)).repartition(3)
+
+    true_mask = fact["k"].isin(set(keys["k"]))
+    pre = bloom_semi_join(fact_ds, keys_ds, "k",
+                          m_bits=1 << 18).to_pandas()
+    assert set(zip(fact[true_mask]["k"], fact[true_mask]["v"])) <= \
+        set(zip(pre["k"], pre["v"]))                    # superset
+    assert len(pre) < len(fact) * 0.2                   # actually prunes
+
+    verified = broadcast_semi_join(
+        bloom_semi_join(fact_ds, keys_ds, "k", m_bits=1 << 18),
+        set(keys["k"]), "k").to_pandas()
+    assert len(verified) == int(true_mask.sum())
