@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pagerank": q.events_pagerank,
         "events_view_then_purchase": q.events_view_then_purchase,
         "events_user_ewma": q.events_user_ewma,
+        "events_user_range_sum": q.events_user_range_sum,
         # embeddings: similarity search
         "emb_knn_top10": q.emb_knn_top10,
         "emb_knn_lsh": q.emb_knn_lsh,
@@ -1042,6 +1043,23 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst, pr.it
             )
             SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5
+        """,
+        # RANGE-frame window twin: fixed-point integer units make the
+        # distributed sum identical to the SQL window sum; RANGE includes
+        # all same-instant ties on both engines.
+        "events_user_range_sum": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) // 1000000 AS ep,
+                       CAST(round(value * 10000) AS BIGINT) AS units
+                FROM events
+            )
+            SELECT event_id,
+                   sum(units) OVER (
+                       PARTITION BY user_id ORDER BY ep
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS window_units
+            FROM e
         """,
         # EWMA twin: the recursive CTE walks each user's rows in the same
         # (ep, event_id) order and applies the identical double-precision

@@ -346,6 +346,33 @@ def events_user_gap(sf_dir: str) -> rd.Dataset:
     return lagged.map_batches(finish, batch_format="pandas")
 
 
+def events_user_range_sum(sf_dir: str) -> rd.Dataset:
+    """Time-bounded (RANGE-frame) sliding window: for every event, the
+    sum of the user's values over the trailing hour INCLUDING ties at the
+    same instant (`relational.range_window_sum_by_key` — one key-hash
+    shuffle, per-key prefix sums + searchsorted bounds). Values ride as
+    fixed-point integer units so distributed summation is exactly the SQL
+    window sum."""
+    from ..stages.relational import range_window_sum_by_key, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["ep"] = (out["ts"].astype("datetime64[us]").astype("int64")
+                     // 1_000_000)
+        out["units"] = np.rint(
+            out["value"].to_numpy(np.float64) * 10_000).astype(np.int64)
+        return to_arrow(out[["event_id", "user_id", "ep", "units"]])
+
+    return range_window_sum_by_key(
+        events.map_batches(prep, batch_format="pandas"),
+        key_col="user_id", time_col="ep", value_col="units",
+        window=3600, out_col="window_units", keep_cols=["event_id"],
+    )
+
+
 def events_user_ewma(sf_dir: str) -> rd.Dataset:
     """Per-user exponentially-weighted value trendline (alpha=0.25): the
     streaming decay recurrence over each user's event history

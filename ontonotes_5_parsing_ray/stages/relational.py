@@ -1420,6 +1420,68 @@ def ewma_by_key(
     )
 
 
+def range_window_sum_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window: int,
+    out_col: str = "window_sum",
+    keep_cols: Optional[Sequence[str]] = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key RANGE-window sum: for every row, the sum of ``value_col``
+    over the key's rows with ``time in [t - window + 1, t]`` — SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY t RANGE BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. Unlike :func:`rolling_by_key` (ROWS
+    frame: a fixed COUNT of preceding rows), the RANGE frame is
+    time-bounded and includes ALL ties at the current instant.
+
+    Same one-shuffle plan as the other per-key windows: ``hash(key) % P``,
+    then per partition ONE mergesort + per-key prefix sums + two
+    ``searchsorted`` bounds per row — O(n log n) per partition, no
+    per-row loops. ``value_col`` must be INTEGER (callers scale floats to
+    fixed-point first) so distributed summation order can't perturb a
+    float result. Same contract: one key's rows fit one partition."""
+    from ..functions.hashing import partition_vec
+
+    keep_cols = list(keep_cols) if keep_cols is not None else [key_col]
+    need = sorted({key_col, time_col, value_col, *keep_cols})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        sv = g.sort_values([key_col, time_col],
+                           kind="mergesort").reset_index(drop=True)
+        t = sv[time_col].to_numpy(np.int64)
+        v = sv[value_col].to_numpy(np.int64)
+        keys = sv[key_col].to_numpy()
+        # per-key segment bounds in the sorted frame
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        csum = np.concatenate([[0], np.cumsum(v)])
+        out_vals = np.empty(len(sv), dtype=np.int64)
+        for s, e in zip(starts, ends):     # loop over KEYS, not rows
+            tt = t[s:e]
+            lo = s + np.searchsorted(tt, tt - (window - 1), side="left")
+            hi = s + np.searchsorted(tt, tt, side="right")  # incl. ties
+            out_vals[s:e] = csum[hi] - csum[lo]
+        out = sv[keep_cols].copy()
+        out[out_col] = out_vals
+        return to_arrow(out)
+
+    return (
+        ds.select_columns(need)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 def lag_by_key(
     ds: rd.Dataset,
     key_col: str,

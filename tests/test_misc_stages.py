@@ -1155,3 +1155,42 @@ def test_bloom_semi_join_superset_and_composition(ray_session):
         bloom_semi_join(fact_ds, keys_ds, "k", m_bits=1 << 18),
         set(keys["k"]), "k").to_pandas()
     assert len(verified) == int(true_mask.sum())
+
+
+def test_range_window_sum_matches_bruteforce(ray_session):
+    """range_window_sum_by_key == the brute-force time-bounded sum
+    (including same-instant ties) on a hot-key stream with many duplicate
+    timestamps."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        range_window_sum_by_key,
+    )
+
+    rng = np.random.RandomState(29)
+    n = 6_000
+    window = 50
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": np.where(rng.rand(n) < 0.4, 2,
+                      rng.randint(0, 20, size=n)).astype(np.int64),
+        "t": rng.randint(0, 300, size=n).astype(np.int64),  # heavy ties
+        "v": rng.randint(-50, 100, size=n).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(7)
+    out = range_window_sum_by_key(
+        ds, key_col="k", time_col="t", value_col="v", window=window,
+        keep_cols=["event_id"]).to_pandas() \
+        .set_index("event_id")["window_sum"]
+
+    m = df.merge(df, on="k", suffixes=("", "_o"))
+    m = m[(m["t_o"] >= m["t"] - (window - 1)) & (m["t_o"] <= m["t"])]
+    want = m.groupby("event_id")["v_o"].sum()
+    assert len(out) == n
+    pd.testing.assert_series_equal(
+        out.sort_index(), want.sort_index(),
+        check_names=False, check_dtype=False)

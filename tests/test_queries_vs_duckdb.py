@@ -47,7 +47,7 @@ SQL_PAIRED = [
     "events_user_ewma", "events_user_top_type",
     "events_unique_users_by_type", "q10_returned_revenue",
     "events_user_pivot", "events_funnel_conversion",
-    "events_purchaser_activity",
+    "events_purchaser_activity", "events_user_range_sum",
 ]
 
 
