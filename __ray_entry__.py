@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by construction (HLL sketch): rows-only check; the
         # pytest gate bounds error vs the exact combine at < 5%
         "events_hll_users_by_type": q.events_hll_users_by_type,
+        # approximate by construction (CMS sketch): rows-only check; the
+        # pytest gate asserts exact-top-20 recovery + one-sided error
+        "docs_cms_top_terms": q.docs_cms_top_terms,
         "events_user_pivot": q.events_user_pivot,
         "events_funnel_conversion": q.events_funnel_conversion,
         "events_purchaser_activity": q.events_purchaser_activity,

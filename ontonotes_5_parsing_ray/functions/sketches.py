@@ -120,3 +120,58 @@ def bloom_contains(bits: np.ndarray, values, n_hashes: int = 7) -> np.ndarray:
     byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
     hit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
     return hit.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate frequencies / heavy hitters in fixed
+# memory. Mergeable by elementwise SUM; one-sided error (estimates never
+# undercount). Completes the sketch family: HLL (distinct), Bloom
+# (membership), CMS (frequency).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4           # rows (error probability ~ e^-D)
+CMS_W = 1 << 14     # counters per row (overcount ~ total/W per item)
+_CMS_KEYS = ["a1b2c3d4e5f60718", "0123456789abcdef",
+             "fedcba9876543210", "1122334455667788"]
+
+
+def cms_new() -> np.ndarray:
+    """Empty (D, W) int64 counter matrix (~512 KB)."""
+    return np.zeros((CMS_D, CMS_W), dtype=np.int64)
+
+
+def _cms_idx(values) -> np.ndarray:
+    """(D, n) counter indices — one fixed-key siphash per row."""
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    return np.stack([
+        (pd.util.hash_array(arr, hash_key=k, categorize=False)
+         % np.uint64(CMS_W)).astype(np.int64)
+        for k in _CMS_KEYS
+    ])
+
+
+def cms_add(cms: np.ndarray, values, counts=None) -> np.ndarray:
+    """Fold values (optionally pre-counted) into the sketch in place."""
+    if len(values) == 0:
+        return cms
+    idx = _cms_idx(values)
+    c = (np.ones(len(idx[0]), dtype=np.int64) if counts is None
+         else np.asarray(counts, dtype=np.int64))
+    for d in range(CMS_D):
+        np.add.at(cms[d], idx[d], c)
+    return cms
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(cms: np.ndarray, values) -> np.ndarray:
+    """Estimated counts (never below the true count)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _cms_idx(values)
+    return np.min(
+        np.stack([cms[d][idx[d]] for d in range(CMS_D)]), axis=0)

@@ -1460,6 +1460,52 @@ def docs_top_terms(sf_dir: str) -> pd.DataFrame:
     return top[["token", "n"]].reset_index(drop=True)
 
 
+def docs_cms_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Approximate heavy hitters via a Count-Min sketch: each batch emits
+    ONE fixed-size (512 KB) counter matrix plus its local top-40 candidate
+    tokens; sketches merge by elementwise sum on the driver and the
+    candidate union is ranked by estimated count. The combine moves
+    sketches, not the vocabulary — the sub-linear alternative to the exact
+    `docs_top_terms` (no SQL twin: one-sided approximate; the pytest gate
+    asserts the exact top-20 set is recovered and estimates never
+    undercount)."""
+    from ..functions.sketches import cms_add, cms_merge, cms_new, cms_query
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def sketch_partials(batch: pd.DataFrame) -> pa.Table:
+        counts = (batch["text"].str.strip().str.split()
+                  .explode().value_counts())
+        cms = cms_add(cms_new(), counts.index.to_numpy(dtype=object),
+                      counts.to_numpy())
+        cand = counts.head(40)
+        return pa.table({
+            "cms": pa.array([cms.tobytes()], pa.binary()),
+            "cands": pa.array(
+                [list(cand.index.astype(str))],
+                pa.list_(pa.string())),
+        })
+
+    merged = cms_new()
+    cands: set = set()
+    for blk in docs.map_batches(
+            sketch_partials, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for blob, cl in zip(blk["cms"], blk["cands"]):
+            merged = cms_merge(
+                merged, np.frombuffer(blob, dtype=np.int64)
+                .reshape(merged.shape))
+            cands.update(cl)
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = cms_query(merged, cand_arr)
+    out = pd.DataFrame({"token": cand_arr.astype(str), "n_est": est}) \
+        .sort_values(["n_est", "token"], ascending=[False, True],
+                     kind="mergesort").head(20)
+    out["n_est"] = out["n_est"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def docs_tfidf_top3(sf_dir: str, broadcast_limit: int = 200_000) -> rd.Dataset:
     """Per-document top-3 characteristic terms by TF-IDF
     (``tf * ln(N / df)``) — the corpus-analysis operator behind keyword

@@ -234,3 +234,26 @@ def test_bloom_filter_laws():
     sbits = bloom_add(bloom_new(m_bits), ["alpha", "beta"])
     assert bloom_contains(sbits, ["alpha", "beta"]).all()
     assert not bloom_contains(sbits, ["gamma-very-absent"]).any()
+
+
+def test_cms_sketch_laws():
+    """CMS: one-sided error (never undercounts); split partials sum to
+    the one-pass sketch; absent keys near zero at low fill."""
+    import numpy as np
+
+    from ontonotes_5_parsing_ray.functions.sketches import (
+        cms_add, cms_merge, cms_new, cms_query,
+    )
+
+    vals = np.array(["hot"] * 500 + ["warm"] * 80
+                    + [f"t{i}" for i in range(3000)], dtype=object)
+    one = cms_add(cms_new(), vals)
+    est = cms_query(one, np.array(["hot", "warm", "t7", "absent"],
+                                  dtype=object))
+    assert est[0] >= 500 and est[1] >= 80 and est[2] >= 1
+    assert est[0] <= 500 + 10 and est[3] <= 5   # low fill -> tiny overcount
+
+    split = cms_new()
+    for chunk in np.array_split(vals, 7):
+        split = cms_merge(split, cms_add(cms_new(), chunk))
+    assert (split == one).all()

@@ -1194,3 +1194,22 @@ def test_range_window_sum_matches_bruteforce(ray_session):
     pd.testing.assert_series_equal(
         out.sort_index(), want.sort_index(),
         check_names=False, check_dtype=False)
+
+
+def test_cms_top_terms_recovers_exact(ray_session):
+    """docs_cms_top_terms recovers the exact top-20 token set with
+    one-sided (never-under) estimates — the rows-only rationale."""
+    from tests.conftest import SF_DIR
+
+    from ontonotes_5_parsing_ray.pipelines.queries import (
+        docs_cms_top_terms,
+        docs_top_terms,
+    )
+
+    approx = docs_cms_top_terms(SF_DIR)
+    exact = docs_top_terms(SF_DIR)
+    assert set(approx["token"]) == set(exact["token"])
+    true = dict(zip(exact["token"], exact["n"]))
+    for tok, est in zip(approx["token"], approx["n_est"]):
+        assert est >= true[tok]                       # one-sided
+        assert est <= true[tok] * 1.05 + 20           # and tight here
