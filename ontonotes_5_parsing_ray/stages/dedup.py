@@ -36,6 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from functools import lru_cache
@@ -103,6 +104,52 @@ CANDIDATE_DRIVER_LIMIT = 2_000_000
 # on NOTHING but the hot band — exactly the low-signal tail.
 LSH_MAX_BUCKET = 4096
 
+# Total candidate-pair budget across ALL buckets: max_bucket bounds one
+# bucket, but a corpus whose signatures correlate (Zipf-headed real text)
+# has MANY near-cap buckets — measured 52M capped candidates at 200k docs
+# even with max_bucket=512. The effective cap therefore derives from the
+# bucket-size histogram so the estimated capped-pair total stays under
+# this budget (deterministic ladder, logged when it tightens).
+LSH_PAIR_BUDGET = 20_000_000
+# Enumerate pairs on the driver only while the estimated pair volume is
+# modest; above it the bounded 64-partition distributed enumeration runs
+# regardless of how few band ROWS there are.
+PAIR_DRIVER_LIMIT = 8_000_000
+_CAP_LADDER = (4096, 2048, 1024, 512, 256, 128, 64, 32)
+
+
+def _pair_unique(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) pairs via lexsort + adjacency — pandas
+    drop_duplicates / np.unique(axis=0) are ~20x slower at tens of
+    millions of rows (measured 300s vs ~15s on 52M pairs)."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=keep[1:])
+    return a[keep], b[keep]
+
+
+def _effective_bucket_cap(
+    big_sizes: np.ndarray,
+    small_pairs: int,
+    max_bucket: int,
+    pair_budget: int,
+):
+    """Largest ladder cap whose estimated capped-pair total fits the
+    budget. ``big_sizes`` = bucket sizes above the small-bucket floor;
+    ``small_pairs`` = the EXACT pair total of the sub-floor buckets
+    (computed distributedly from the same histogram — caps can't shrink
+    those, so they're a constant term)."""
+    for cap in _CAP_LADDER:
+        if cap > max_bucket:
+            continue
+        capped = np.minimum(big_sizes, cap).astype(np.int64)
+        est = int((capped * (capped - 1) // 2).sum()) + small_pairs
+        if est <= pair_budget:
+            return cap, est
+    return _CAP_LADDER[-1], int(small_pairs)
+
 
 def _bucket_pair_arrays(
     df: pd.DataFrame,
@@ -162,13 +209,63 @@ def _candidate_pairs(
     payloads) and reused by whichever branch runs; the driver branch moves
     Arrow columns, not row dicts."""
     bucket_rows = bucket_rows.materialize()
-    if bucket_rows.count() <= driver_limit:
+    n_rows = bucket_rows.count()
+
+    # bucket-size histogram (big buckets only — the skew tail is small):
+    # drives BOTH the total-pair budget (effective cap) and the
+    # driver/distributed routing. Routing on band-ROW count alone is
+    # wrong: 800k rows can enumerate 50M+ pairs when buckets correlate.
+    def _size_partials(t: pa.Table) -> pa.Table:
+        col = t.column(bucket_col)
+        vc = pd.Series(
+            col.to_numpy(zero_copy_only=False)).value_counts()
+        # keep the ORIGINAL arrow type: uint64 band keys overflow an
+        # inferred int64, string keys must stay strings
+        return pa.table({
+            "bucket": pa.array(vc.index.to_numpy(), type=col.type),
+            "c": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    from .relational import preagg_groupby_ds
+
+    sizes = preagg_groupby_ds(
+        bucket_rows.map_batches(_size_partials, batch_format="pyarrow"),
+        ["bucket"], {"c": ("c", "sum")})
+    sizes = sizes.materialize()  # reused: big-bucket fetch + small sum
+    big = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c"), pa.scalar(64)))
+        .select(["c"]),
+        batch_format="pyarrow").to_pandas()
+    big_sizes = (big["c"].to_numpy(np.int64) if "c" in big.columns
+                 else np.array([], dtype=np.int64))  # empty ds drops schema
+
+    def _small_pair_partials(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        c = c[c <= 64]
+        return pa.table({"p": pa.array([int((c * (c - 1) // 2).sum())],
+                                       pa.int64())})
+
+    small_pairs = sum(
+        int(v) for blk in sizes.map_batches(
+            _small_pair_partials, batch_format="pyarrow"
+        ).iter_batches(batch_format="pandas") for v in blk["p"])
+    eff_cap, est_pairs = _effective_bucket_cap(
+        big_sizes, small_pairs,
+        max_bucket if max_bucket is not None else _CAP_LADDER[0],
+        LSH_PAIR_BUDGET)
+    if max_bucket is not None and eff_cap < max_bucket:
+        logger.warning(
+            "LSH pair budget tightened max_bucket %d -> %d "
+            "(estimated capped pairs %.1fM, budget %.1fM)",
+            max_bucket, eff_cap, est_pairs / 1e6, LSH_PAIR_BUDGET / 1e6)
+        max_bucket = eff_cap
+
+    if n_rows <= driver_limit and est_pairs <= PAIR_DRIVER_LIMIT:
         df = bucket_rows.to_pandas()
         a, b, _ = _bucket_pair_arrays(
             df, bucket_col, id_col, collapse_cols, max_bucket)
         if len(a):
-            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-            a, b = uniq[:, 0], uniq[:, 1]
+            a, b = _pair_unique(a, b)
         return rd.from_arrow(pa.table({
             "doc_a": pa.array(a, pa.int64()),
             "doc_b": pa.array(b, pa.int64()),

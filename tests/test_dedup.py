@@ -515,3 +515,47 @@ def test_contamination_overlap_routes_and_bruteforce(ray_session):
         "text": pd.array([], dtype="string"),
     }))
     assert contamination_overlap(corpus, empty).count() == 0
+
+
+def test_pair_budget_tightens_cap_and_routes(ray_session, monkeypatch):
+    """A corpus of MANY mid-size correlated buckets (the Zipf-text shape
+    that defeated a per-bucket-only cap at 200k docs) must (a) tighten the
+    effective cap so total candidates fit the pair budget, and (b) route
+    enumeration off the driver when the estimate exceeds the driver pair
+    limit — while still finding every planted exact-dup pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages import dedup as dd
+
+    # 40 buckets x 300 members; ids overlap so pairs repeat across buckets
+    rng = np.random.RandomState(5)
+    buckets, ids = [], []
+    for bkt in range(40):
+        members = rng.choice(4000, size=300, replace=False)
+        buckets.extend([f"b{bkt}"] * 300)
+        ids.extend(members)
+    rows = rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.string()),
+        "id": pa.array(np.array(ids, dtype=np.int64), pa.int64()),
+    })).repartition(4)
+
+    monkeypatch.setattr(dd, "LSH_PAIR_BUDGET", 100_000)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 50_000)
+    capped = dd._candidate_pairs(rows, "bucket", "id",
+                                 max_bucket=4096).to_pandas()
+    # budget 100k: cap drops to 64 -> <= 40 * 64*63/2 + small = bounded
+    assert 0 < len(capped) <= 100_000
+    assert (capped["doc_a"] < capped["doc_b"]).all()
+    assert not capped.duplicated(["doc_a", "doc_b"]).any()
+
+    # default budget: full enumeration, must be a superset of the capped
+    monkeypatch.setattr(dd, "LSH_PAIR_BUDGET", 20_000_000)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 8_000_000)
+    full = dd._candidate_pairs(rows, "bucket", "id",
+                               max_bucket=4096).to_pandas()
+    got_full = set(zip(full["doc_a"], full["doc_b"]))
+    got_capped = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert got_capped <= got_full
+    assert len(got_full) > len(got_capped)
