@@ -60,12 +60,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_by_status": q.orders_lineitem_by_status,
         "supplier_nation_balance": q.supplier_nation_balance,
         "brand_revenue": q.brand_revenue,
+        "order_ship_day_coverage": q.order_ship_day_coverage,
+        "q18_large_orders": q.q18_large_orders,
         # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
         "events_sessions_salted": q.events_sessions_salted,
         "events_user_stats": q.events_user_stats,
         "events_user_top_type": q.events_user_top_type,
+        "events_value_time_corr": q.events_value_time_corr,
         "events_unique_users_by_type": q.events_unique_users_by_type,
         # approximate by construction (HLL sketch): rows-only check; the
         # pytest gate bounds error vs the exact combine at < 5%
@@ -88,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "docs_repetition": q.docs_repetition,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
+        "docs_dup_windows": q.docs_dup_windows,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
@@ -365,6 +369,35 @@ def oracle_sql() -> dict[str, str]:
                    round(max(c)::DOUBLE / sum(c), 6) AS rep2_ratio
             FROM c GROUP BY doc_id
         """,
+        # Exact substring-duplication twin: every 5-token window
+        # materialized by position, corpus totals by window text, per-doc
+        # duplicated-position counts. The Ray side groups by a 64-bit window
+        # hash instead of the text — collision-free at these scales, so the
+        # counts are identical.
+        "docs_dup_windows": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), w AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(tks) - 4),
+                           i -> array_to_string(
+                               list_slice(tks, i, i + 4), ' '))) AS w5
+                FROM tk WHERE len(tks) >= 5
+            ), c AS (
+                SELECT w5, count(*) AS total FROM w GROUP BY w5
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup,
+                   round(sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS dup_fraction
+            FROM w JOIN c USING (w5)
+            GROUP BY doc_id
+        """,
         # Connected components over the exact pair graph: recursive
         # min-label walk (a label propagates along edges while smaller than
         # the target id); min over reached labels = component min id.
@@ -568,6 +601,58 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY user_id
                     ORDER BY n DESC, event_type) AS rn
                 FROM c) WHERE rn = 1
+        """,
+        # FULL OUTER join twin: day-level pre-aggregates joined with
+        # COALESCE'd counts (the Ray side goes through the native
+        # full_outer Dataset.join after identical pre-aggregation).
+        "order_ship_day_coverage": """
+            WITH o AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       count(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                       count(*)::BIGINT AS n_shipments
+                FROM lineitem GROUP BY 1
+            )
+            SELECT day,
+                   coalesce(n_orders, 0)::BIGINT AS n_orders,
+                   coalesce(n_shipments, 0)::BIGINT AS n_shipments
+            FROM o FULL OUTER JOIN s USING (day)
+        """,
+        # TPC-H Q18 shape: HAVING-filtered fact pre-agg re-joined to
+        # orders + customer, deterministic tie-broken top-100.
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+            ), t AS (
+                SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                       o.o_orderdate, big.sum_qty
+                FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+                ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+                LIMIT 100
+            )
+            SELECT c.c_name, c.c_custkey, t.o_orderkey,
+                   strftime(t.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(t.o_totalprice, 2) AS o_totalprice,
+                   round(t.sum_qty, 2) AS sum_qty
+            FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+        """,
+        # Grouped correlation / regression twin: DuckDB's numerically-stable
+        # corr/regr_slope vs the Ray side's offset moment sums — equal to
+        # far more than the 6 rounded decimals (x is offset near the data).
+        "events_value_time_corr": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(corr(value,
+                              epoch_us(ts)::DOUBLE / 1000000
+                              - 1704067200), 6) AS corr_value_time,
+                   round(regr_slope(value,
+                                    epoch_us(ts)::DOUBLE / 1000000
+                                    - 1704067200) * 86400, 6)
+                       AS slope_per_day
+            FROM events GROUP BY event_type
         """,
         "events_unique_users_by_type": """
             SELECT event_type,

@@ -929,6 +929,19 @@ def docs_repetition(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pandas")
 
 
+def docs_dup_windows(sf_dir: str) -> rd.Dataset:
+    """Exact substring-duplication scoring (Lee et al. exact-substring
+    family): per doc, how many of its 5-token windows occur >= 2 times
+    anywhere in the corpus, and the duplicated fraction. Windows shuffle as
+    64-bit hashes, corpus totals are computed partition-locally, per-doc
+    partials combine in one high-cardinality shuffle
+    (``stages.dedup.dup_window_stats``)."""
+    from ..stages.dedup import dup_window_stats
+
+    return dup_window_stats(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
+
+
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10
@@ -1076,6 +1089,116 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
     })
     agg["value_sum"] = round_half_away(agg["value_sum"].to_numpy(), 6)
     return agg.sort_values("user_id").reset_index(drop=True)
+
+
+def order_ship_day_coverage(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join coverage report: per calendar day, how many orders
+    were placed vs how many lineitems shipped — days exist on each side the
+    other never saw (first ~4 months of shipments trail the last orders).
+    Both sides pre-aggregate distributively to day cardinality FIRST, so
+    the full-outer ``hash_join`` moves ~2.5k rows, never the fact tables."""
+    from ..stages.relational import compact_blocks, to_arrow
+
+    def day_col(table: str, ts_col: str, out_count: str):
+        ds = _read(sf_dir, table, columns=[ts_col])
+
+        def to_day(b: pd.DataFrame) -> pa.Table:
+            return to_arrow(pd.DataFrame(
+                {"day": b[ts_col].dt.strftime("%Y-%m-%d")}))
+
+        return preagg_groupby_ds(
+            ds.map_batches(to_day, batch_format="pandas"),
+            ["day"], {out_count: ("day", "count")})
+
+    o = day_col("orders", "o_orderdate", "n_orders")
+    s = day_col("lineitem", "l_shipdate", "n_shipments")
+    full = hash_join(compact_blocks(o), compact_blocks(s),
+                     on=["day"], join_type="full_outer")
+    out = full.to_pandas()
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["n_shipments"] = out["n_shipments"].fillna(0).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 180.0) -> pd.DataFrame:
+    """TPC-H-Q18-style large-volume-customer query: orders whose total
+    lineitem quantity exceeds ``min_qty``, with customer names, top-100 by
+    total price. Per-orderkey quantity sums are a distributed pre-agg
+    (orderkeys are O(rows) at scale — partials still shrink ~4x per the
+    lineitem fan-out); qualifying orders join the orders table through the
+    size-aware ``hash_join``; the top-100 combine is blocks x k; customer
+    names attach by streaming the customer scan against the <= 100
+    surviving custkeys (broadcast set, never a full dimension read)."""
+    import ray
+
+    from ..stages.relational import compact_blocks, to_arrow
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = preagg_groupby_ds(li, ["l_orderkey"],
+                             {"sum_qty": ("l_quantity", "sum")})
+
+    def keep_big(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(b[b["sum_qty"] > min_qty])
+
+    big = sums.map_batches(keep_big, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+    joined = hash_join(orders, compact_blocks(big),
+                       on=["o_orderkey"], right_on=["l_orderkey"])
+    top = distributed_topk(
+        joined, by=["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True], k=100)
+    keys_ref = ray.put(set(top["o_custkey"].tolist()))
+
+    def keep_cust(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(
+            b[b["c_custkey"].isin(ray.get(keys_ref))]
+            [["c_custkey", "c_name"]])
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(keep_cust, batch_format="pandas").to_pandas())
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return pd.DataFrame({
+        "c_name": out["c_name"],
+        "c_custkey": out["c_custkey"].astype("int64"),
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+        "o_orderdate": out["o_orderdate"].dt.strftime("%Y-%m-%d"),
+        "o_totalprice": round_half_away(
+            out["o_totalprice"].to_numpy(), 2),
+        "sum_qty": round_half_away(out["sum_qty"].to_numpy(), 2),
+    }).sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                   ascending=[False, True, True],
+                   kind="mergesort").reset_index(drop=True)
+
+
+def events_value_time_corr(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation + regression slope of event value on
+    event time, per event_type — ONE streaming pass of mergeable moment
+    partials (`relational.grouped_corr`), no raw-row shuffle. Time rides as
+    float seconds offset near the data (2024-01-01) so the moment sums stay
+    cancellation-safe; slope reported per day. Rounded to 6 decimals for
+    the DuckDB ``corr``/``regr_slope`` twin."""
+    from ..stages.relational import grouped_corr, to_arrow
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_secs(b: pd.DataFrame) -> pa.Table:
+        secs = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                / 1e6) - 1_704_067_200.0
+        return to_arrow(pd.DataFrame({
+            "event_type": b["event_type"], "secs": secs, "value": b["value"],
+        }))
+
+    out = grouped_corr(ev.map_batches(add_secs, batch_format="pandas"),
+                       "event_type", "secs", "value")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_events": out["n"],
+        "corr_value_time": round_half_away(out["corr"].to_numpy(), 6),
+        "slope_per_day": round_half_away(
+            out["slope"].to_numpy() * 86400.0, 6),
+    }).sort_values("event_type").reset_index(drop=True)
 
 
 def lineitem_discount_bands(sf_dir: str) -> pd.DataFrame:
@@ -1520,14 +1643,15 @@ def docs_tfidf_top3(sf_dir: str, broadcast_limit: int = 200_000) -> rd.Dataset:
     ``hash_join`` instead (neither side driver-resident). Top-3 per doc is
     the bounded ``groupwise_head`` quota (rank by rounded score desc, then
     token — float-tie-stable vs the SQL twin)."""
-    import pyarrow.parquet as pq2
+    import pyarrow.dataset as pads
 
     import ray
 
     from ..stages.relational import groupwise_head, to_arrow
 
-    n_docs = pq2.read_metadata(
-        os.path.join(sf_dir, "documents.parquet")).num_rows
+    # metadata-only row count; handles single-file AND directory layouts
+    n_docs = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")).count_rows()
     docs = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tf_rows(batch: pd.DataFrame) -> pa.Table:

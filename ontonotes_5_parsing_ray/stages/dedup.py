@@ -1344,3 +1344,90 @@ def near_dup_clusters(
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def dup_window_stats(
+    docs: rd.Dataset,
+    k: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exact substring-duplication scoring (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring family, at word granularity): for every document, how
+    many of its ``k``-token windows occur at least TWICE anywhere in the
+    corpus (including a second time inside the same document) — the signal
+    used to strip memorization-prone boilerplate before training.
+
+    Output: one row per document with >= 1 window —
+    ``(doc_id, n_windows, n_dup, dup_fraction)`` where ``dup_fraction`` is
+    rounded to 6 decimals for the SQL value-hash twin.
+
+    Plan (three bounded stages, no all-pairs anywhere):
+
+    1. One streaming doc scan emits per-(doc, window) occurrence counts —
+       windows leave the scan as 64-bit siphashes (:func:`hash64_vec`), so
+       the shuffle moves 16 bytes per DISTINCT window per doc, never window
+       text. (Collision boundary: 64-bit birthday collisions become likely
+       around 10^9-10^10 distinct windows; past that swap ``hash64_vec``
+       for a 128-bit digest here — one line, nothing downstream changes.)
+    2. Window hashes co-partition by ``hash % P``; each partition computes
+       corpus totals for its windows locally (one vectorized ``transform``)
+       and folds to per-(doc, partition) partials ``(n_pos, n_dup)``.
+       A pathologically hot WINDOW costs only its own occurrence rows —
+       totals are a sum, not an enumeration.
+    3. Partials (<= min(P, windows) rows per doc) combine per doc through
+       :func:`relational.partition_map_groups` — doc cardinality is
+       O(corpus), so the high-cardinality one-shuffle plan applies, not a
+       map-side pre-agg.
+    """
+    from .relational import partition_map_groups, to_arrow
+
+    def window_counts(batch: pd.DataFrame) -> pa.Table:
+        doc_ids: List[int] = []
+        wins: List[str] = []
+        cs: List[int] = []
+        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            toks = text.split()
+            m = len(toks) - k + 1
+            if m < 1:
+                continue
+            counts: dict = {}
+            for i in range(m):
+                w = " ".join(toks[i: i + k])
+                counts[w] = counts.get(w, 0) + 1
+            doc_ids.extend([did] * len(counts))
+            wins.extend(counts.keys())
+            cs.extend(counts.values())
+        wh = hash64_vec(np.asarray(wins, dtype=object)) if wins else \
+            np.empty(0, dtype=np.uint64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "wh": pa.array(wh.astype(np.int64), pa.int64()),
+            "c": pa.array(cs, pa.int64()),
+        })
+
+    def mark_dups(g: pd.DataFrame) -> pa.Table:
+        totals = g.groupby("wh", sort=False)["c"].transform("sum")
+        dup_c = np.where(totals.to_numpy() >= 2, g["c"].to_numpy(), 0)
+        out = (g.assign(dup_c=dup_c)
+               .groupby("doc_id", sort=False, as_index=False)
+               .agg(n_pos=("c", "sum"), n_dup=("dup_c", "sum")))
+        return to_arrow(out)
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby("doc_id", sort=False, as_index=False)
+               .agg(n_windows=("n_pos", "sum"), n_dup=("n_dup", "sum")))
+        frac = agg["n_dup"].to_numpy() / agg["n_windows"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "n_windows": pa.array(agg["n_windows"].to_numpy(), pa.int64()),
+            "n_dup": pa.array(agg["n_dup"].to_numpy(), pa.int64()),
+            "dup_fraction": pa.array(
+                [round_half_away(float(f), 6) for f in frac], pa.float64()),
+        })
+
+    counts = docs.map_batches(window_counts, batch_format="pandas")
+    partials = partition_map_groups(counts, "wh", mark_dups,
+                                    num_partitions=num_partitions)
+    return partition_map_groups(partials, "doc_id", per_doc,
+                                num_partitions=num_partitions)

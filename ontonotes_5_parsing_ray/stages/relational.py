@@ -1528,3 +1528,59 @@ def lag_by_key(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_offset: float = 0.0,
+    driver_limit: int = PREAGG_DRIVER_LIMIT,
+) -> pd.DataFrame:
+    """Grouped Pearson correlation + least-squares slope of ``y`` on ``x``
+    from ONE streaming pass of mergeable moment partials
+    ``(n, sx, sy, sxx, syy, sxy)`` — the algebraic decomposition every
+    distributed stats engine uses; no per-group second pass, no shuffle of
+    raw rows (the combine moves keys x blocks partial rows and auto-routes
+    driver/distributed via :func:`preagg_groupby`).
+
+    ``x_offset`` is subtracted from ``x`` before the products to keep
+    ``n*sxx - sx^2`` away from catastrophic cancellation when ``x`` is a
+    large epoch-like magnitude; correlation and slope are mathematically
+    translation-invariant, so any constant is valid — pick one near the
+    data. Returns unrounded ``(key, n, corr, slope)``; callers round for
+    SQL twins. Groups with zero variance on either side get NaN corr
+    (SQL ``corr`` returns NULL there — filter or coalesce in the caller).
+    """
+
+    def moments(b: pd.DataFrame) -> pa.Table:
+        x = b[x_col].to_numpy(dtype=np.float64) - x_offset
+        y = b[y_col].to_numpy(dtype=np.float64)
+        return to_arrow(pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            "n": np.ones(len(b), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby(key_col, sort=False, as_index=False).sum())
+
+    aggs = {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    m = preagg_groupby(ds.map_batches(moments, batch_format="pandas"),
+                       [key_col], aggs, driver_limit=driver_limit)
+    m = m.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+    n = m["n"].to_numpy(dtype=np.float64)
+    cov_n2 = n * m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy()
+    varx_n2 = n * m["sxx"].to_numpy() - m["sx"].to_numpy() ** 2
+    vary_n2 = n * m["syy"].to_numpy() - m["sy"].to_numpy() ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov_n2 / np.sqrt(varx_n2 * vary_n2)
+        slope = cov_n2 / varx_n2
+    # zero-variance groups: the covariance sum cancels to ~0 but not
+    # exactly, while the variance IS exactly 0 -> inf; SQL corr/regr_slope
+    # return NULL there, so mask explicitly (negatives are cancellation
+    # noise on a zero variance)
+    corr[(varx_n2 <= 0) | (vary_n2 <= 0)] = np.nan
+    slope[varx_n2 <= 0] = np.nan
+    return pd.DataFrame({
+        key_col: m[key_col], "n": m["n"].astype(np.int64),
+        "corr": corr, "slope": slope,
+    })

@@ -559,3 +559,35 @@ def test_pair_budget_tightens_cap_and_routes(ray_session, monkeypatch):
     got_capped = set(zip(capped["doc_a"], capped["doc_b"]))
     assert got_capped <= got_full
     assert len(got_full) > len(got_capped)
+
+
+def test_dup_window_stats_planted_duplicates(ray_session):
+    """Exact substring-duplication scoring: planted cross-doc and
+    within-doc duplicated 3-token windows are counted by POSITION, unique
+    text scores zero, and short docs (< k tokens) drop out."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.dedup import dup_window_stats
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the quick brown fox jumps",      # shares 'the quick brown' w/ 2
+            "the quick brown cat sits",       # cross-doc dup window
+            "aa bb aa bb aa bb",              # within-doc repeats
+            "totally unique words here now",  # no dup windows
+            "too short",                      # < 3 tokens -> dropped
+        ],
+    })).repartition(3)
+    out = (dup_window_stats(docs, k=3, num_partitions=8)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    assert list(out.index) == [1, 2, 3, 4]
+    # doc1/doc2: 3 windows each, exactly one shared ('the quick brown')
+    assert out.loc[1, "n_windows"] == 3 and out.loc[1, "n_dup"] == 1
+    assert out.loc[2, "n_windows"] == 3 and out.loc[2, "n_dup"] == 1
+    # doc3: windows 'aa bb aa','bb aa bb','aa bb aa','bb aa bb' -> all dup
+    assert out.loc[3, "n_windows"] == 4 and out.loc[3, "n_dup"] == 4
+    assert out.loc[3, "dup_fraction"] == 1.0
+    assert out.loc[4, "n_dup"] == 0 and out.loc[4, "dup_fraction"] == 0.0

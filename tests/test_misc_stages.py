@@ -1213,3 +1213,35 @@ def test_cms_top_terms_recovers_exact(ray_session):
     for tok, est in zip(approx["token"], approx["n_est"]):
         assert est >= true[tok]                       # one-sided
         assert est <= true[tok] * 1.05 + 20           # and tight here
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    """Mergeable-moment grouped corr/slope == numpy's corrcoef/polyfit on
+    the whole group, across batch boundaries and with a zero-variance
+    group returning NaN."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import grouped_corr
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "flat"], size=n),
+        "x": rng.uniform(1e9, 1e9 + 1e6, size=n),
+        "y": rng.normal(size=n),
+    })
+    df.loc[df["k"] == "a", "y"] += df.loc[df["k"] == "a", "x"] * 1e-6
+    df.loc[df["k"] == "flat", "y"] = 7.0  # zero y-variance -> NaN corr
+
+    out = grouped_corr(rd.from_pandas(df).repartition(8),
+                       "k", "x", "y", x_offset=1e9).set_index("k")
+    for key in ["a", "b", "c"]:
+        g = df[df["k"] == key]
+        expect_corr = np.corrcoef(g["x"], g["y"])[0, 1]
+        expect_slope = np.polyfit(g["x"], g["y"], 1)[0]
+        assert abs(out.loc[key, "corr"] - expect_corr) < 1e-9
+        assert abs(out.loc[key, "slope"] - expect_slope) < 1e-9
+        assert out.loc[key, "n"] == len(g)
+    assert np.isnan(out.loc["flat", "corr"])

@@ -48,6 +48,10 @@ SQL_PAIRED = [
     "events_unique_users_by_type", "q10_returned_revenue",
     "events_user_pivot", "events_funnel_conversion",
     "events_purchaser_activity", "events_user_range_sum",
+    # round-4 (cont.): exact substring-duplication windows, grouped
+    # corr/regression moments, FULL OUTER day coverage, Q18 join chain
+    "docs_dup_windows", "events_value_time_corr",
+    "order_ship_day_coverage", "q18_large_orders",
 ]
 
 
