@@ -100,6 +100,10 @@ def run_bench() -> dict:
         ("emb_knn_graph", lambda d: q.emb_knn_graph(d).count()),
         ("events_view_then_purchase",
          lambda d: q.events_view_then_purchase(d).count()),
+        ("docs_dup_windows", lambda d: q.docs_dup_windows(d).count()),
+        ("events_value_time_corr", q.events_value_time_corr),
+        ("order_ship_day_coverage", q.order_ship_day_coverage),
+        ("q18_large_orders", q.q18_large_orders),
     ]:
         t1 = time.time()
         fn(sf_dir)

@@ -173,12 +173,23 @@ def _star_components(D: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
             pairs_str = (pd.Series(t.column("a").to_pylist(), dtype=object)
                          + "\x01"
                          + pd.Series(t.column("b").to_pylist(), dtype=object))
-            h = int(hash64_vec(pairs_str).sum(dtype=np.uint64)
-                    % np.uint64((1 << 40) - 1))
-            return pa.table({"h": pa.array([h], pa.int64())})
+            # batch partial = uint64 WRAPAROUND sum: addition mod 2^64 is
+            # associative+commutative, so the final signature is independent
+            # of how rows split into blocks. (The previous per-batch
+            # `sum % (2^40-1)` partials were NOT: a stable edge set under a
+            # different block split changed the signature, so convergence
+            # was only detected when two consecutive rounds happened to
+            # batch identically — tiny star forests ran 20+ rounds and
+            # occasionally blew the 64-round limit.)
+            h = int(hash64_vec(pairs_str).sum(dtype=np.uint64))
+            return pa.table({"h": pa.array([h], pa.uint64())})
 
-        sig = (D.count(), D.map_batches(sig_batch,
-                                        batch_format="pyarrow").sum("h"))
+        parts = D.map_batches(sig_batch, batch_format="pyarrow").to_pandas()
+        # empty Datasets lose their schema through to_pandas — no edges
+        # means signature 0
+        hsum = (sum(int(v) for v in parts["h"])
+                if len(parts) and "h" in parts.columns else 0)
+        sig = (D.count(), int(hsum % (1 << 64)))
         if debug:
             print(f"[canon] star round {rnd}: {_time.time() - t0:.2f}s "
                   f"edges={sig[0]}", flush=True)

@@ -157,23 +157,49 @@ def _bucket_pair_arrays(
     id_col: str,
     collapse_cols: Optional[List[str]],
     max_bucket: Optional[int],
+    filter_cols: Optional[List[str]] = None,
+    pair_filter=None,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Vectorized per-bucket pair enumeration over a (bucket, id[, collapse])
     frame: collapse exact-dup groups to their min id, cap residual buckets,
-    emit triu pairs. Shared by the driver and distributed branches."""
+    emit triu pairs. Shared by the driver and distributed branches.
+
+    ``filter_cols`` + ``pair_filter``: per-row attribute columns (e.g. set
+    size and prefix position for PPJoin-style pruning) and a vectorized
+    ``pair_filter(attrs_a, attrs_b) -> bool mask`` applied to each bucket's
+    enumerated pairs BEFORE they are emitted — pruning happens in-kernel,
+    so filtered pairs never hit the dedupe shuffle. Exact-dup collapse
+    takes the group min of each attribute (collapse groups share identical
+    text, hence identical attributes)."""
+    filter_cols = filter_cols or []
     if collapse_cols:
+        aggs = {id_col: "min", **{c: "min" for c in filter_cols}}
         df = df.groupby([bucket_col] + collapse_cols, as_index=False,
-                        sort=False)[id_col].min()
+                        sort=False).agg(aggs)
     a_chunks: List[np.ndarray] = []
     b_chunks: List[np.ndarray] = []
     dropped = 0
     for _bucket, g in df.groupby(bucket_col, sort=False):
-        ids = np.unique(g[id_col].to_numpy())
+        if filter_cols:
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            attrs = {c: g[c].to_numpy() for c in filter_cols}
+        else:
+            ids = np.unique(g[id_col].to_numpy())
+            attrs = None
         if max_bucket is not None and len(ids) > max_bucket:
             dropped += len(ids) - max_bucket
             ids = ids[:max_bucket]
+            if attrs is not None:
+                attrs = {c: v[:max_bucket] for c, v in attrs.items()}
         if len(ids) > 1:
             iu, ju = np.triu_indices(len(ids), 1)
+            if pair_filter is not None and attrs is not None:
+                keep = pair_filter({c: v[iu] for c, v in attrs.items()},
+                                   {c: v[ju] for c, v in attrs.items()})
+                iu, ju = iu[keep], ju[keep]
+                if not len(iu):
+                    continue
             a_chunks.append(ids[iu].astype(np.int64))
             b_chunks.append(ids[ju].astype(np.int64))
     if dropped:
@@ -194,6 +220,8 @@ def _candidate_pairs(
     driver_limit: int = CANDIDATE_DRIVER_LIMIT,
     collapse_cols: Optional[List[str]] = None,
     max_bucket: Optional[int] = LSH_MAX_BUCKET,
+    filter_cols: Optional[List[str]] = None,
+    pair_filter=None,
 ) -> rd.Dataset:
     """Dedup'd id pairs (a < b) sharing at least one bucket.
 
@@ -263,7 +291,8 @@ def _candidate_pairs(
     if n_rows <= driver_limit and est_pairs <= PAIR_DRIVER_LIMIT:
         df = bucket_rows.to_pandas()
         a, b, _ = _bucket_pair_arrays(
-            df, bucket_col, id_col, collapse_cols, max_bucket)
+            df, bucket_col, id_col, collapse_cols, max_bucket,
+            filter_cols=filter_cols, pair_filter=pair_filter)
         if len(a):
             a, b = _pair_unique(a, b)
         return rd.from_arrow(pa.table({
@@ -282,22 +311,44 @@ def _candidate_pairs(
 
     def candidates_partition(group: pd.DataFrame) -> pa.Table:
         a, b, _ = _bucket_pair_arrays(
-            group, bucket_col, id_col, collapse_cols, max_bucket)
+            group, bucket_col, id_col, collapse_cols, max_bucket,
+            filter_cols=filter_cols, pair_filter=pair_filter)
+        if len(a):
+            # local dedupe first: duplicate hits from buckets in the SAME
+            # partition never reach the cross-partition exchange
+            a, b = _pair_unique(a, b)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
-    from ray.data.aggregate import Count
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        ua = t.column("doc_a").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ub = t.column("doc_b").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        mixed = (ua * np.uint64(0x9E3779B97F4A7C15)) ^ \
+                (ub * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "part2", pa.array((mixed % np.uint64(P)).astype(np.int32),
+                              pa.int32()))
 
-    # duplicate band hits collapse via a native aggregate (one row per pair,
-    # no per-pair pandas UDF), then the count column is projected away.
+    def dedup_partition(group: pd.DataFrame) -> pa.Table:
+        a, b = _pair_unique(group["doc_a"].to_numpy(),
+                            group["doc_b"].to_numpy())
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    # global dedupe = one pair-hash co-partition + a C-speed lexsort
+    # adjacency kernel per partition. (The previous
+    # ``groupby([doc_a, doc_b]).aggregate(Count)`` sort-aggregate was 4x
+    # the cost of the enumeration itself at 5.8M pairs — measured 97 s vs
+    # 24 s at 50k docs.)
     return (
         bucket_rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(candidates_partition, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
-                     batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(dedup_partition, batch_format="pandas")
     )
 
 
@@ -1180,6 +1231,8 @@ def ngram_jaccard_pairs(
         out_id: List[int] = []
         oh1: List[int] = []
         oh2: List[int] = []
+        out_sz: List[int] = []
+        out_pos: List[int] = []
         for doc_id, t, a, b in zip(doc_ids, texts, h1, h2):
             grams = word_shingles(t.split(), gram_n)
             if not grams:
@@ -1188,17 +1241,40 @@ def ngram_jaccard_pairs(
                 (token_hash64_md5(g) for g in grams),
                 dtype=np.uint64, count=len(grams)))
             p = len(hs) - int(math.ceil(threshold * len(hs))) + 1
-            for gv in hs[:p]:
+            for pos, gv in enumerate(hs[:p]):
                 out_g.append(int(gv))
                 out_id.append(doc_id)
                 oh1.append(int(a))
                 oh2.append(int(b))
+                out_sz.append(len(hs))
+                out_pos.append(pos)
         return pa.table({
             "g": pa.array(out_g, pa.uint64()),
             "doc_id": pa.array(out_id, pa.int64()),
             "h1": pa.array(oh1, pa.int64()),
             "h2": pa.array(oh2, pa.int64()),
+            "sz": pa.array(out_sz, pa.int32()),
+            "pos": pa.array(out_pos, pa.int32()),
         })
+
+    def ppjoin_filter(A: dict, B: dict) -> np.ndarray:
+        """PPJoin length + positional pruning (Xiao et al.): Jaccard >= t
+        needs overlap O >= ceil(t/(1+t) * (|x|+|y|)); at a shared gram g,
+        O <= 1 + min(grams of x after g, grams of y after g). The bound is
+        exact at the pair's MINIMAL common gram — which the prefix scheme
+        guarantees sits in both prefixes — so a qualifying pair always
+        survives at that site and recall stays 100% (the pair set is the
+        union over sites). Tighter sites may prune their own copy of the
+        pair; that only removes duplicates. Epsilon guards keep FP rounding
+        from pruning exact-boundary pairs."""
+        sa = A["sz"].astype(np.float64)
+        sb = B["sz"].astype(np.float64)
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb) - 1e-9)
+        ub = 1.0 + np.minimum(sa - A["pos"] - 1, sb - B["pos"] - 1)
+        len_ok = (np.minimum(sa, sb)
+                  >= threshold * np.maximum(sa, sb) - 1e-9)
+        return (len_ok & (ub >= alpha)).to_numpy() \
+            if hasattr(len_ok, "to_numpy") else (len_ok & (ub >= alpha))
 
     docs = docs.select_columns(["doc_id", "text"])
     prefix_ds = docs.map_batches(prefix_rows, batch_format="pyarrow")
@@ -1206,6 +1282,7 @@ def ngram_jaccard_pairs(
     pairs = _candidate_pairs(
         prefix_ds, "g", "doc_id",
         collapse_cols=["h1", "h2"], max_bucket=max_bucket,
+        filter_cols=["sz", "pos"], pair_filter=ppjoin_filter,
     ).materialize()
 
     def key_rows(batch: pa.Table) -> pa.Table:
