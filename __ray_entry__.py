@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q.docs_repetition,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_dup_windows": q.docs_dup_windows,
+        "docs_weighted_sample": q.docs_weighted_sample,
+        "docs_pmi_bigrams": q.docs_pmi_bigrams,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
@@ -397,6 +399,51 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS dup_fraction
             FROM w JOIN c USING (w5)
             GROUP BY doc_id
+        """,
+        # Weighted-sampling twin (Efraimidis-Spirakis key): the md5-derived
+        # uniform and the ln-key are the same IEEE arithmetic on both sides.
+        "docs_weighted_sample": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       round(ln((md5_number_upper(CAST(doc_id AS VARCHAR))
+                                 ::DOUBLE + 0.5)
+                                / 18446744073709551616.0) / n_chars, 9)
+                           AS wkey
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, source, wkey FROM s
+            ORDER BY wkey DESC, doc_id LIMIT 20
+        """,
+        # PMI collocation twin: unigram + adjacent-bigram counts, identical
+        # multiply/divide order inside ln().
+        "docs_pmi_bigrams": """
+            WITH tk AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), u AS (
+                SELECT unnest(tks) AS w FROM tk
+            ), uc AS (
+                SELECT w, count(*)::BIGINT AS c FROM u GROUP BY w
+            ), n AS (
+                SELECT count(*)::DOUBLE AS n_tokens FROM u
+            ), b AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(tks) - 1),
+                    i -> [tks[i], tks[i+1]])) AS pr
+                FROM tk WHERE len(tks) >= 2
+            ), bc AS (
+                SELECT pr[1] AS w1, pr[2] AS w2,
+                       count(*)::BIGINT AS n_pair
+                FROM b GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, n_pair,
+                   round(ln(n_pair::DOUBLE * n.n_tokens
+                            / (u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+            FROM bc
+            JOIN uc u1 ON bc.w1 = u1.w
+            JOIN uc u2 ON bc.w2 = u2.w
+            CROSS JOIN n
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         # Connected components over the exact pair graph: recursive
         # min-label walk (a label propagates along edges while smaller than

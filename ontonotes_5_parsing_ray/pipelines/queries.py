@@ -942,6 +942,74 @@ def docs_dup_windows(sf_dir: str) -> rd.Dataset:
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
 
 
+def docs_weighted_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key ln(u)/w with u a
+    deterministic md5-derived uniform and w = n_chars; the global top-k by
+    key is an exact weighted sample — longer documents proportionally more
+    likely, zero shuffle (blocks x k partial top-k + driver combine), and
+    fully SQL-twinnable because u is ``md5_number_upper`` and the key is
+    plain IEEE arithmetic on both sides."""
+    from ..functions.hashing import token_hash64_md5
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0].copy()
+        h = np.array([token_hash64_md5(str(d)) for d in b["doc_id"]],
+                     dtype=np.uint64)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        b["wkey"] = round_half_away(
+            np.log(u) / b["n_chars"].to_numpy(np.float64), 9)
+        return b[["doc_id", "source", "wkey"]]
+
+    return distributed_topk(
+        docs.map_batches(keyed, batch_format="pandas"),
+        by=["wkey", "doc_id"], ascending=[False, True], k=k)
+
+
+def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFrame:
+    """Collocation mining: top-k adjacent token bigrams by pointwise mutual
+    information, among bigrams seen >= min_count times. One streaming scan
+    emits per-batch bigram and unigram partial counts (map-side combine);
+    both combines auto-route driver/distributed; PMI arithmetic happens on
+    the (vocabulary-sized) result. Rounded to 6 decimals for the SQL twin."""
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def gram_partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in b["text"]:
+            toks = t.split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        return to_arrow(pd.DataFrame({
+            "w1": ([w for w, _ in bi.keys()] + [w for w in uni.keys()]),
+            "w2": ([w for _, w in bi.keys()] + [""] * len(uni)),
+            "c": (list(bi.values()) + list(uni.values())),
+        }))
+
+    counts = preagg_groupby(
+        docs.map_batches(gram_partials, batch_format="pandas"),
+        ["w1", "w2"], {"c": ("c", "sum")})
+    uni = counts[counts["w2"] == ""]
+    n_tokens = float(uni["c"].sum())
+    uc = dict(zip(uni["w1"], uni["c"]))
+    bi = counts[(counts["w2"] != "") & (counts["c"] >= min_count)].copy()
+    c1 = bi["w1"].map(uc).to_numpy(np.float64)
+    c2 = bi["w2"].map(uc).to_numpy(np.float64)
+    c12 = bi["c"].to_numpy(np.float64)
+    bi["pmi"] = round_half_away(
+        np.log(c12 * n_tokens / (c1 * c2)), 6)
+    bi["n_pair"] = bi["c"].astype("int64")
+    out = bi[["w1", "w2", "n_pair", "pmi"]]
+    return topk(out, by=["pmi", "w1", "w2"],
+                ascending=[False, True, True], k=k)
+
+
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10
