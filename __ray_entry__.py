@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_windows": q.docs_dup_windows,
         "docs_weighted_sample": q.docs_weighted_sample,
         "docs_pmi_bigrams": q.docs_pmi_bigrams,
+        "docs_typo_pairs": q.docs_typo_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
@@ -444,6 +445,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON bc.w2 = u2.w
             CROSS JOIN n
             ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        # Typo-pair twin: the vocabulary cross join with DuckDB's native
+        # levenshtein — feasible because the vocabulary (len>=3, count>=3)
+        # is tiny; the Ray side never enumerates all pairs (deletion
+        # variants). The synthetic corpus has zero distance-1 pairs, so
+        # this pins zero false positives; recall signal is in pytest.
+        "docs_typo_pairs": """
+            WITH u AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            ), uc AS (
+                SELECT w, count(*)::BIGINT AS c FROM u GROUP BY w
+            ), t AS (
+                SELECT w FROM uc WHERE len(w) >= 3 AND c >= 3
+            )
+            SELECT a.w AS tok_a, b.w AS tok_b
+            FROM t a JOIN t b
+              ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
         """,
         # Connected components over the exact pair graph: recursive
         # min-label walk (a label propagates along edges while smaller than

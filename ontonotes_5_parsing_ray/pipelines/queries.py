@@ -1010,6 +1010,48 @@ def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFra
                 ascending=[False, True, True], k=k)
 
 
+def docs_typo_pairs(sf_dir: str, min_len: int = 3, min_count: int = 3) -> rd.Dataset:
+    """SymSpell-style typo detection: all pairs of distinct vocabulary
+    tokens (len >= 3, corpus count >= 3) at edit distance exactly 1 — the
+    fuzzy-matching primitive behind vocabulary normalization. Vocabulary
+    builds as a distributed unigram pre-agg; the pairing fans each token to
+    its 1-deletion variants (100% recall, no all-pairs) and verifies with
+    an O(len) distance check (``stages.dedup.token_typo_pairs``). The
+    synthetic corpus has a closed 31-token vocabulary with no distance-1
+    pairs, so the sf oracle pins the operator at zero false positives; the
+    planted-typo signal lives in tests/test_dedup.py."""
+    from ..stages.dedup import token_typo_pairs
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def tok_partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(t.split())
+        return to_arrow(pd.DataFrame({
+            "token": list(c.keys()), "c": list(c.values())}))
+
+    vocab = preagg_groupby_ds(
+        docs.map_batches(tok_partials, batch_format="pandas"),
+        ["token"], {"c": ("c", "sum")})
+
+    def keep(b: pd.DataFrame) -> pa.Table:
+        m = (b["token"].str.len() >= min_len) & (b["c"] >= min_count)
+        return to_arrow(b[m][["token"]])
+
+    pairs = token_typo_pairs(vocab.map_batches(keep, batch_format="pandas"))
+    if pairs.count() == 0:
+        # empty Datasets lose their schema through to_pandas — hand the
+        # driver a typed empty frame instead (non-empty results stay a
+        # streaming Dataset: pairs are vocabulary-bounded but can still be
+        # millions of rows at web-scale vocabularies)
+        return pd.DataFrame({"tok_a": pd.Series(dtype="object"),
+                             "tok_b": pd.Series(dtype="object")})
+    return pairs
+
+
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10

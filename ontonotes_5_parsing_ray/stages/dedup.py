@@ -1508,3 +1508,108 @@ def dup_window_stats(
                                     num_partitions=num_partitions)
     return partition_map_groups(partials, "doc_id", per_doc,
                                 num_partitions=num_partitions)
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check in O(len) (no DP): equal length ->
+    at most one substitution; length gap 1 -> one insertion."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def token_typo_pairs(
+    tokens: rd.Dataset,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """SymSpell-style fuzzy token matching: all pairs of DISTINCT tokens at
+    edit distance exactly 1 (one substitution, insertion or deletion) —
+    the typo-clustering primitive for vocabulary normalization.
+
+    Recall is 100% without any all-pairs scan: two tokens at distance 1
+    always share a 1-deletion variant (substitution: delete the differing
+    char from each; insertion: the shorter token IS a variant of the
+    longer), so fanning each token out to itself + its ``len`` deletion
+    variants and pairing within variant buckets enumerates a superset,
+    verified by an O(len) distance check. Variant buckets are
+    vocabulary-bounded and tiny (tokens sharing a deletion), so the
+    per-bucket loop inside each of the ``num_partitions`` co-partitions is
+    the same bounded plan as the canonicalization band blocks.
+
+    Input: a Dataset with a ``token`` column of DISTINCT tokens (the
+    caller's vocabulary — at corpus scale this is the pre-aggregated
+    unigram table, orders of magnitude smaller than the corpus).
+    Output: ``(tok_a, tok_b)`` with ``tok_a < tok_b``, globally deduped."""
+
+    def variants(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        out_v: List[str] = []
+        out_t: List[str] = []
+        for t in toks:
+            out_v.append(t)
+            out_t.append(t)
+            for i in range(len(t)):
+                out_v.append(t[:i] + t[i + 1:])
+                out_t.append(t)
+        return pa.table({
+            "variant": pa.array(out_v, pa.string()),
+            "token": pa.array(out_t, pa.string()),
+        })
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = partition_vec(
+            t.column("variant").to_numpy(zero_copy_only=False),
+            num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def pairs_partition(g: pd.DataFrame) -> pa.Table:
+        a_out: List[str] = []
+        b_out: List[str] = []
+        for _v, grp in g.groupby("variant", sort=False):
+            toks = sorted(set(grp["token"]))
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    if _lev_le1(toks[i], toks[j]):
+                        a_out.append(toks[i])
+                        b_out.append(toks[j])
+        out = pd.DataFrame({"tok_a": a_out, "tok_b": b_out}) \
+            .drop_duplicates()
+        return pa.table({
+            "tok_a": pa.array(out["tok_a"].tolist(), pa.string()),
+            "tok_b": pa.array(out["tok_b"].tolist(), pa.string()),
+        })
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        keys = pd.Series(t.column("tok_a").to_pylist(), dtype=object) \
+            + "\x01" + pd.Series(t.column("tok_b").to_pylist(), dtype=object)
+        part = partition_vec(keys.to_numpy(), num_partitions)
+        return t.append_column("part2", pa.array(part, pa.int32()))
+
+    def dedup_partition(g: pd.DataFrame) -> pa.Table:
+        out = g[["tok_a", "tok_b"]].drop_duplicates()
+        return pa.table({
+            "tok_a": pa.array(out["tok_a"].tolist(), pa.string()),
+            "tok_b": pa.array(out["tok_b"].tolist(), pa.string()),
+        })
+
+    return (tokens.map_batches(variants, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(pairs_partition,
+                                        batch_format="pandas")
+            .map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("part2").map_groups(dedup_partition,
+                                         batch_format="pandas"))

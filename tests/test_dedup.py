@@ -591,3 +591,32 @@ def test_dup_window_stats_planted_duplicates(ray_session):
     assert out.loc[3, "n_windows"] == 4 and out.loc[3, "n_dup"] == 4
     assert out.loc[3, "dup_fraction"] == 1.0
     assert out.loc[4, "n_dup"] == 0 and out.loc[4, "dup_fraction"] == 0.0
+
+
+def test_token_typo_pairs_planted(ray_session):
+    """SymSpell deletion-variant pairing finds exactly the planted
+    distance-1 pairs (substitution, insertion/deletion, both directions)
+    and nothing at distance 2 — cross-checked against the full
+    O(V^2) Levenshtein enumeration."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.functions.distance import levenshtein
+    from ontonotes_5_parsing_ray.stages.dedup import token_typo_pairs
+
+    vocab = ["table", "tible", "tables", "chair", "chairs", "chaim",
+             "query", "queue", "data", "date", "gate", "plan",
+             "xyzzy", "spark"]
+    out = (token_typo_pairs(
+        rd.from_pandas(pd.DataFrame({"token": vocab})).repartition(4),
+        num_partitions=8).to_pandas())
+    got = set(zip(out["tok_a"], out["tok_b"]))
+    expect = set()
+    for i in range(len(vocab)):
+        for j in range(len(vocab)):
+            a, b = vocab[i], vocab[j]
+            if a < b and levenshtein(a, b) == 1:
+                expect.add((a, b))
+    assert got == expect
+    assert ("data", "date") in got and ("date", "gate") in got
+    assert ("table", "tibles") not in got

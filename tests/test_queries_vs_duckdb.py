@@ -52,8 +52,9 @@ SQL_PAIRED = [
     # corr/regression moments, FULL OUTER day coverage, Q18 join chain
     "docs_dup_windows", "events_value_time_corr",
     "order_ship_day_coverage", "q18_large_orders",
-    # round-4 (cont.): deterministic weighted sampling, PMI collocations
-    "docs_weighted_sample", "docs_pmi_bigrams",
+    # round-4 (cont.): deterministic weighted sampling, PMI collocations,
+    # SymSpell typo pairs (zero-FP pin; recall signal in test_dedup.py)
+    "docs_weighted_sample", "docs_pmi_bigrams", "docs_typo_pairs",
 ]
 
 
