@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q.docs_weighted_sample,
         "docs_pmi_bigrams": q.docs_pmi_bigrams,
         "docs_typo_pairs": q.docs_typo_pairs,
+        "customer_name_typos": q.customer_name_typos,
+        "events_value_mad": q.events_value_mad,
+        "docs_source_entropy": q.docs_source_entropy,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
@@ -464,6 +467,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.w AS tok_a, b.w AS tok_b
             FROM t a JOIN t b
               ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        """,
+        # MAD twin: median-of-absolute-deviations, both medians exact and
+        # interpolated the same way (events_median_value already pins the
+        # inner median bit-for-bit).
+        "events_value_mad": """
+            WITH m AS (
+                SELECT event_type, median(value) AS med FROM events
+                GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   round(any_value(m.med), 6) AS median_value,
+                   round(median(abs(e.value - m.med)), 6) AS mad
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type
+        """,
+        # Entropy twin: -sum(p ln p) over the per-source unigram
+        # distribution; rounding absorbs summation-order ulps.
+        "docs_source_entropy": """
+            WITH tk AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            ), c AS (
+                SELECT source, w, count(*)::DOUBLE AS c
+                FROM tk GROUP BY 1, 2
+            ), n AS (
+                SELECT source, sum(c) AS n FROM c GROUP BY source
+            )
+            SELECT c.source, n.n::BIGINT AS n_tokens,
+                   round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+            FROM c JOIN n USING (source)
+            GROUP BY c.source, n.n
+        """,
+        # Fuzzy record-linkage twin with real signal: serial-numbered
+        # customer names pair at distance 1 whenever one digit differs.
+        "customer_name_typos": """
+            SELECT a.c_name AS tok_a, b.c_name AS tok_b
+            FROM customer a JOIN customer b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         # Connected components over the exact pair graph: recursive
         # min-label walk (a label propagates along edges while smaller than

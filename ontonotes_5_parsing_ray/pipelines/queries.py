@@ -280,6 +280,71 @@ def events_median_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion: per-type median absolute deviation (MAD), the
+    outlier-resistant spread metric — a two-level composition of the exact
+    histogram-refinement median: pass 1 computes each type's median, pass 2
+    broadcasts those medians into a derived |value - median| column and
+    takes ITS median. No sort, no raw-value shuffle anywhere."""
+    import ray
+
+    from ..stages.relational import grouped_median, to_arrow
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_median(events, "event_type", "value")
+    med_ref = ray.put(dict(zip(med["event_type"], med["median_value"])))
+
+    def abs_dev(b: pd.DataFrame) -> pa.Table:
+        m = ray.get(med_ref)
+        dev = np.abs(b["value"].to_numpy(np.float64)
+                     - b["event_type"].map(m).to_numpy(np.float64))
+        return to_arrow(pd.DataFrame({
+            "event_type": b["event_type"], "value": dev}))
+
+    mad = grouped_median(
+        events.map_batches(abs_dev, batch_format="pandas"),
+        "event_type", "value").rename(columns={"median_value": "mad"})
+    out = med.merge(mad, on="event_type")
+    out["median_value"] = round_half_away(out["median_value"].to_numpy(), 6)
+    out["mad"] = round_half_away(out["mad"].to_numpy(), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def docs_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source Shannon entropy (nats) of the unigram distribution — the
+    information-theoretic text-diversity metric. One scan of (source,
+    token) map-side partial counts, auto-routed combine, vectorized
+    entropy on the vocabulary-sized result."""
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for s, t in zip(b["source"], b["text"]):
+            for w in t.split():
+                c[(s, w)] += 1
+        return to_arrow(pd.DataFrame({
+            "source": [s for s, _ in c.keys()],
+            "token": [w for _, w in c.keys()],
+            "c": list(c.values()),
+        }))
+
+    counts = preagg_groupby(
+        docs.map_batches(partials, batch_format="pandas"),
+        ["source", "token"], {"c": ("c", "sum")})
+    out = []
+    for src, g in counts.groupby("source", sort=True):
+        c = g["c"].to_numpy(np.float64)
+        n = c.sum()
+        p = c / n
+        out.append({"source": src, "n_tokens": int(n),
+                    "entropy": round_half_away(
+                        float(-(p * np.log(p)).sum()), 6)})
+    return pd.DataFrame(out)
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type interpolated quantiles (p25/p50/p75/p90/p99) via the
     generalized histogram-refinement selection — one stats pass, one
@@ -1050,6 +1115,23 @@ def docs_typo_pairs(sf_dir: str, min_len: int = 3, min_count: int = 3) -> rd.Dat
         return pd.DataFrame({"tok_a": pd.Series(dtype="object"),
                              "tok_b": pd.Series(dtype="object")})
     return pairs
+
+
+def customer_name_typos(sf_dir: str) -> rd.Dataset:
+    """Fuzzy record linkage within a dimension: all customer-name pairs at
+    edit distance 1 (serial-numbered names differ by one digit, so this has
+    real signal — 19.5k pairs at sf0.01). Same deletion-variant operator as
+    ``docs_typo_pairs``, driver-checked non-zero against DuckDB's native
+    ``levenshtein`` cross join."""
+    from ..stages.dedup import token_typo_pairs
+    from ..stages.relational import to_arrow
+
+    cust = _read(sf_dir, "customer", columns=["c_name"])
+
+    def names(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(pd.DataFrame({"token": b["c_name"]}))
+
+    return token_typo_pairs(cust.map_batches(names, batch_format="pandas"))
 
 
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:

@@ -55,6 +55,9 @@ SQL_PAIRED = [
     # round-4 (cont.): deterministic weighted sampling, PMI collocations,
     # SymSpell typo pairs (zero-FP pin; recall signal in test_dedup.py)
     "docs_weighted_sample", "docs_pmi_bigrams", "docs_typo_pairs",
+    "customer_name_typos",
+    # round-4 (cont.): robust dispersion (MAD), per-source token entropy
+    "events_value_mad", "docs_source_entropy",
 ]
 
 
