@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_typo_pairs": q.docs_typo_pairs,
         "customer_name_typos": q.customer_name_typos,
         "events_value_mad": q.events_value_mad,
+        "events_session_paths": q.events_session_paths,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
@@ -467,6 +468,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.w AS tok_a, b.w AS tok_b
             FROM t a JOIN t b
               ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        """,
+        # Session-path twin: the events_sessions gap/ordering convention,
+        # trigrams via two leads inside (user, session).
+        "events_session_paths": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events
+            ), g AS (
+                SELECT *, CASE WHEN ep - lag(ep) OVER w > 1800
+                               OR lag(ep) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ep, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ep, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ), t AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER w2 AS t2,
+                       lead(event_type, 2) OVER w2 AS t3
+                FROM s WINDOW w2 AS (PARTITION BY user_id, sid
+                                     ORDER BY ep, event_id)
+            )
+            SELECT t1, t2, t3, count(*)::BIGINT AS n
+            FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
         """,
         # MAD twin: median-of-absolute-deviations, both medians exact and
         # interpolated the same way (events_median_value already pins the

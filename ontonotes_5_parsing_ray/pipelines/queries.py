@@ -345,6 +345,57 @@ def docs_source_entropy(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def events_session_paths(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Sequential pattern mining: the top-k event-type TRIGRAM paths inside
+    user sessions (same 1800 s gap rule and (epoch, event_id) ordering as
+    ``events_sessions``) — the 'what do users do next' analysis. One
+    ``hash(user) % P`` shuffle; each partition sessionizes and extracts
+    consecutive triples with shifted numpy masks (no per-session loop);
+    the combine is the tiny type^3 vocabulary."""
+    from ..stages.relational import partition_map_groups, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        ep = (b["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64) // 1_000_000)
+        return to_arrow(pd.DataFrame({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ep": ep, "event_type": b["event_type"]}))
+
+    def paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ep", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ep = g["ep"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) < 3:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "t3": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        new_s = np.empty(len(g), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ep[1:] - ep[:-1]) > 1800)
+        sid = np.cumsum(new_s)
+        same12 = sid[:-1] == sid[1:]
+        ok = same12[:-1] & same12[1:]
+        part = pd.DataFrame({"t1": t[:-2][ok], "t2": t[1:-1][ok],
+                             "t3": t[2:][ok]})
+        cnt = part.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return to_arrow(cnt)
+
+    parts = partition_map_groups(events.map_batches(prep,
+                                                    batch_format="pandas"),
+                                 "user_id", paths)
+    combined = (parts.to_pandas()
+                .groupby(["t1", "t2", "t3"], as_index=False)["n"].sum())
+    combined["n"] = combined["n"].astype("int64")
+    return topk(combined, by=["n", "t1", "t2", "t3"],
+                ascending=[False, True, True, True], k=k)
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type interpolated quantiles (p25/p50/p75/p90/p99) via the
     generalized histogram-refinement selection — one stats pass, one

@@ -56,8 +56,9 @@ SQL_PAIRED = [
     # SymSpell typo pairs (zero-FP pin; recall signal in test_dedup.py)
     "docs_weighted_sample", "docs_pmi_bigrams", "docs_typo_pairs",
     "customer_name_typos",
-    # round-4 (cont.): robust dispersion (MAD), per-source token entropy
-    "events_value_mad", "docs_source_entropy",
+    # round-4 (cont.): robust dispersion (MAD), per-source token entropy,
+    # session trigram path mining
+    "events_value_mad", "docs_source_entropy", "events_session_paths",
 ]
 
 
