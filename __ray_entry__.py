@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q.docs_weighted_sample,
         "docs_pmi_bigrams": q.docs_pmi_bigrams,
         "docs_typo_pairs": q.docs_typo_pairs,
+        "docs_lm_perplexity": q.docs_lm_perplexity,
         "customer_name_typos": q.customer_name_typos,
         "events_value_mad": q.events_value_mad,
         "events_session_paths": q.events_session_paths,
@@ -449,6 +450,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON bc.w2 = u2.w
             CROSS JOIN n
             ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        # Perplexity twin: the same add-one bigram model spelled out in
+        # SQL — unigram/bigram counts, per-position smoothed ln P, doc
+        # perplexity = exp(-avg). Rounding absorbs summation-order ulps.
+        "docs_lm_perplexity": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tks
+                FROM documents WHERE trim(text) <> ''
+            ), u AS (
+                SELECT unnest(tks) AS w FROM tk
+            ), uc AS (
+                SELECT w, count(*)::DOUBLE AS c FROM u GROUP BY w
+            ), v AS (
+                SELECT count(*)::DOUBLE AS v FROM uc
+            ), pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(tks) - 1),
+                           i -> [tks[i], tks[i+1]])) AS pr
+                FROM tk WHERE len(tks) >= 2
+            ), bc AS (
+                SELECT pr[1] AS w1, pr[2] AS w2, count(*)::DOUBLE AS c
+                FROM pos GROUP BY 1, 2
+            )
+            SELECT p.doc_id,
+                   round(exp(-avg(ln((bc.c + 1.0) / (uc.c + v.v)))), 6)
+                       AS perplexity
+            FROM pos p
+            JOIN bc ON p.pr[1] = bc.w1 AND p.pr[2] = bc.w2
+            JOIN uc ON p.pr[1] = uc.w
+            CROSS JOIN v
+            GROUP BY p.doc_id
         """,
         # Typo-pair twin: the vocabulary cross join with DuckDB's native
         # levenshtein — feasible because the vocabulary (len>=3, count>=3)

@@ -1185,6 +1185,70 @@ def customer_name_typos(sf_dir: str) -> rd.Dataset:
     return token_typo_pairs(cust.map_batches(names, batch_format="pandas"))
 
 
+def docs_lm_perplexity(sf_dir: str) -> rd.Dataset:
+    """Perplexity-based quality scoring (the CCNet-style LM filter): every
+    document scored by an add-one-smoothed BIGRAM language model trained on
+    the corpus itself — per token position, P(w_i | w_{i-1}) =
+    (c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V); doc perplexity =
+    exp(-mean ln P). Docs with < 2 tokens drop (no bigrams).
+
+    Plan: one scan builds unigram+bigram counts as map-side partials
+    (auto-routed combine); the model broadcasts ONCE via ``ray.put``
+    (vocabulary-bounded — for an open web-scale bigram table, swap the
+    broadcast for the gram-hash-partitioned join the decontamination stage
+    already uses); scoring is a per-batch C-speed merge, zero shuffle."""
+    import ray
+
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in b["text"]:
+            toks = t.split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        return to_arrow(pd.DataFrame({
+            "w1": ([w for w, _ in bi.keys()] + list(uni.keys())),
+            "w2": ([w for _, w in bi.keys()] + [""] * len(uni)),
+            "c": (list(bi.values()) + list(uni.values())),
+        }))
+
+    counts = preagg_groupby(
+        docs.map_batches(gram_partials, batch_format="pandas"),
+        ["w1", "w2"], {"c": ("c", "sum")})
+    uni = counts[counts["w2"] == ""]
+    v_size = float(len(uni))
+    uni_ref = ray.put(dict(zip(uni["w1"], uni["c"].astype(float))))
+    bi_rows = counts[counts["w2"] != ""]
+    bi_ref = ray.put(dict(zip(zip(bi_rows["w1"], bi_rows["w2"]),
+                              bi_rows["c"].astype(float))))
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        uc = ray.get(uni_ref)
+        bc = ray.get(bi_ref)
+        ids, ppl = [], []
+        for did, t in zip(b["doc_id"], b["text"]):
+            toks = t.split()
+            if len(toks) < 2:
+                continue
+            lnp = np.array([
+                np.log((bc.get((a, c), 0.0) + 1.0) / (uc[a] + v_size))
+                for a, c in zip(toks, toks[1:])])
+            ids.append(did)
+            ppl.append(round_half_away(float(np.exp(-lnp.mean())), 6))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "perplexity": pa.array(np.asarray(ppl, np.float64),
+                                   pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def docs_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup_pairs(
         _read_split(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=10

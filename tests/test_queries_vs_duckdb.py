@@ -59,6 +59,8 @@ SQL_PAIRED = [
     # round-4 (cont.): robust dispersion (MAD), per-source token entropy,
     # session trigram path mining
     "events_value_mad", "docs_source_entropy", "events_session_paths",
+    # round-4 (cont.): bigram-LM perplexity quality scoring
+    "docs_lm_perplexity",
 ]
 
 
