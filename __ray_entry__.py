@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_name_typos": q.customer_name_typos,
         "events_value_mad": q.events_value_mad,
         "events_session_paths": q.events_session_paths,
+        "events_value_outliers": q.events_value_outliers,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
@@ -546,6 +547,23 @@ def oracle_sql() -> dict[str, str]:
                    round(median(abs(e.value - m.med)), 6) AS mad
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type
+        """,
+        # Robust-outlier twin: same median/MAD rule; both sides derive the
+        # identical exact medians, so the strict > boundary agrees.
+        "events_value_outliers": """
+            WITH m AS (
+                SELECT event_type, median(value) AS med FROM events
+                GROUP BY event_type
+            ), s AS (
+                SELECT e.event_type,
+                       median(abs(e.value - m.med)) AS mad
+                FROM events e JOIN m USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+            FROM events e
+            JOIN m USING (event_type) JOIN s USING (event_type)
+            WHERE abs(e.value - m.med) > 5.0 * s.mad
         """,
         # Entropy twin: -sum(p ln p) over the per-source unigram
         # distribution; rounding absorbs summation-order ulps.

@@ -310,6 +310,55 @@ def events_value_mad(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_outliers(sf_dir: str, n_mads: float = 5.0) -> rd.Dataset:
+    """Robust outlier detection: events whose value sits more than
+    ``n_mads`` MADs from their type's median — the classic
+    median/MAD rule that mean/stddev rules get wrong under heavy tails.
+    Composition: the two-level exact-median pass computes (median, MAD)
+    per type, both broadcast as a tiny dict, then one streaming filter
+    scan. Exact-boundary-safe: both sides derive the identical median and
+    MAD (pinned by events_value_mad), so the > comparison agrees."""
+    import ray
+
+    from ..stages.relational import grouped_median, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    med = grouped_median(events.select_columns(["event_type", "value"]),
+                         "event_type", "value")
+    med_ref = ray.put(dict(zip(med["event_type"], med["median_value"])))
+
+    def abs_dev(b: pd.DataFrame) -> pa.Table:
+        m = ray.get(med_ref)
+        dev = np.abs(b["value"].to_numpy(np.float64)
+                     - b["event_type"].map(m).to_numpy(np.float64))
+        return to_arrow(pd.DataFrame({
+            "event_type": b["event_type"], "value": dev}))
+
+    mad = grouped_median(
+        events.select_columns(["event_type", "value"])
+        .map_batches(abs_dev, batch_format="pandas"),
+        "event_type", "value")
+    mad_ref = ray.put(dict(zip(mad["event_type"], mad["median_value"])))
+
+    def flag(b: pd.DataFrame) -> pa.Table:
+        m = ray.get(med_ref)
+        s = ray.get(mad_ref)
+        v = b["value"].to_numpy(np.float64)
+        dev = np.abs(v - b["event_type"].map(m).to_numpy(np.float64))
+        keep = dev > n_mads * b["event_type"].map(s).to_numpy(np.float64)
+        out = b[keep]
+        return pa.table({
+            "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "value": pa.array(
+                round_half_away(out["value"].to_numpy(np.float64), 6),
+                pa.float64()),
+        })
+
+    return events.map_batches(flag, batch_format="pandas")
+
+
 def docs_source_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-source Shannon entropy (nats) of the unigram distribution — the
     information-theoretic text-diversity metric. One scan of (source,

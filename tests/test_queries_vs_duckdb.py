@@ -59,8 +59,9 @@ SQL_PAIRED = [
     # round-4 (cont.): robust dispersion (MAD), per-source token entropy,
     # session trigram path mining
     "events_value_mad", "docs_source_entropy", "events_session_paths",
-    # round-4 (cont.): bigram-LM perplexity quality scoring
-    "docs_lm_perplexity",
+    # round-4 (cont.): bigram-LM perplexity quality scoring, median/MAD
+    # robust outlier filter
+    "docs_lm_perplexity", "events_value_outliers",
 ]
 
 
