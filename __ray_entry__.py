@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": q.events_value_mad,
         "events_session_paths": q.events_session_paths,
         "events_value_outliers": q.events_value_outliers,
+        "events_with_first_event": q.events_with_first_event,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
@@ -547,6 +548,21 @@ def oracle_sql() -> dict[str, str]:
                    round(median(abs(e.value - m.med)), 6) AS mad
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type
+        """,
+        # Skew-join twin: first event per user attached to every event; the
+        # Ray side routes hot users through a broadcast map-side join and
+        # the rest through the co-partitioned hash join — same rows.
+        "events_with_first_event": """
+            WITH f AS (
+                SELECT user_id, event_type AS first_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT e.event_id, e.user_id, e.event_type, f.first_type
+            FROM events e
+            JOIN (SELECT user_id, first_type FROM f WHERE rn = 1) f
+              USING (user_id)
         """,
         # Robust-outlier twin: same median/MAD rule; both sides derive the
         # identical exact medians, so the strict > boundary agrees.

@@ -310,6 +310,43 @@ def events_value_mad(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_with_first_event(sf_dir: str, hot_threshold: int = 70) -> rd.Dataset:
+    """Skew-aware fact enrichment: every event joined with its user's
+    FIRST-ever event type, through ``relational.skew_join`` — users hotter
+    than ``hot_threshold`` events broadcast their (tiny) right row and join
+    map-side, everyone else takes the normal co-partitioned hash join. At
+    sf0.01 (~67 events/user) the threshold splits the users across BOTH
+    routes, so the driver check exercises the union. First event = min
+    (ts, event_id) per user via one user-hash partition pass."""
+    from ..stages.relational import partition_map_groups, skew_join, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(pd.DataFrame({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "us": b["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)}))
+
+    def first_kernel(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        f = g.drop_duplicates("user_id", keep="first")
+        return to_arrow(pd.DataFrame({
+            "user_id": f["user_id"],
+            "first_type": f["event_type"]}))
+
+    firsts = partition_map_groups(
+        events.map_batches(prep, batch_format="pandas"),
+        "user_id", first_kernel)
+    left = events.select_columns(["event_id", "user_id", "event_type"])
+    return skew_join(left, firsts, on="user_id",
+                     left_cols=["event_id", "user_id", "event_type"],
+                     right_cols=["user_id", "first_type"],
+                     hot_threshold=hot_threshold)
+
+
 def events_value_outliers(sf_dir: str, n_mads: float = 5.0) -> rd.Dataset:
     """Robust outlier detection: events whose value sits more than
     ``n_mads`` MADs from their type's median — the classic

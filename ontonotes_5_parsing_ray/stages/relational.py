@@ -1584,3 +1584,87 @@ def grouped_corr(
         key_col: m[key_col], "n": m["n"].astype(np.int64),
         "corr": corr, "slope": slope,
     })
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    hot_threshold: int = 100_000,
+    num_partitions: Optional[int] = None,
+    sample_top: int = 64,
+) -> rd.Dataset:
+    """Skew-aware distributed INNER hash join (the AQE/Hive skew-join
+    plan): a plain co-partitioned join sends every row of a hot key to ONE
+    aggregator — a single key with 10^9 rows serializes the whole join.
+    Here hot LEFT keys are detected from map-side partial counts (top
+    ``sample_top`` per batch; a key can only cross ``hot_threshold``
+    globally if it is heavy in many batches, so the truncated partials
+    can't miss it by more than batches x the per-batch floor); their right
+    rows broadcast ONCE and join map-side in the streaming left scan
+    (perfect balance — no hot key ever crosses a shuffle), while everything
+    else takes the normal size-aware :func:`hash_join`.
+
+    Contract: the right side's rows PER HOT KEY must be broadcast-sized
+    (true for dimension-ish or pre-aggregated right sides — the classic
+    skew-join shape; a hot-x-hot fact join explodes its OUTPUT regardless
+    of plan). ``left_cols``/``right_cols`` share only ``on``.
+
+    Scan budget (honest accounting): the left side is consumed once for the
+    key-column-pruned count sample and once per route (hot/cold filters are
+    cheap map stages over the same scan) — 1 narrow + 2 full scans, the
+    price of not materializing an unbounded input. Callers with an
+    expensive upstream should pass a materialized/persisted left."""
+    import ray
+
+    from ..functions.hashing import partition_vec  # noqa: F401 (doc link)
+
+    def count_partials(batch: pd.DataFrame) -> pa.Table:
+        vc = batch[on].value_counts().head(sample_top)
+        return to_arrow(pd.DataFrame({on: vc.index.to_numpy(),
+                                      "c": vc.to_numpy()}))
+
+    counts = (left.select_columns([on])
+              .map_batches(count_partials, batch_format="pandas")
+              .to_pandas())
+    if len(counts):
+        est = counts.groupby(on)["c"].sum()
+        hot = set(est[est > hot_threshold].index.tolist())
+    else:
+        hot = set()
+    hot_ref = ray.put(hot)
+
+    def side(keep_hot: bool):
+        def f(b: pd.DataFrame) -> pa.Table:
+            mask = b[on].isin(ray.get(hot_ref))
+            return to_arrow(b[mask if keep_hot else ~mask])
+        return f
+
+    cold = hash_join(
+        left.map_batches(side(False), batch_format="pandas"),
+        compact_blocks(right.map_batches(side(False),
+                                         batch_format="pandas")),
+        on=[on], num_partitions=num_partitions)
+    out_cols = [on] + [c for c in left_cols if c != on] \
+        + [c for c in right_cols if c != on]
+
+    def project(b: pd.DataFrame) -> pa.Table:
+        return to_arrow(b[out_cols])
+
+    cold = cold.map_batches(project, batch_format="pandas")
+    if not hot:
+        return cold
+
+    right_hot = (right.map_batches(side(True), batch_format="pandas")
+                 .to_pandas())
+    right_ref = ray.put(right_hot)
+
+    def join_hot(b: pd.DataFrame) -> pa.Table:
+        m = b[b[on].isin(ray.get(hot_ref))]
+        merged = m.merge(ray.get(right_ref), on=on, how="inner")
+        return to_arrow(merged[out_cols])
+
+    hot_out = left.map_batches(join_hot, batch_format="pandas")
+    return cold.union(hot_out)

@@ -1245,3 +1245,39 @@ def test_grouped_corr_matches_numpy(ray_session):
         assert abs(out.loc[key, "slope"] - expect_slope) < 1e-9
         assert out.loc[key, "n"] == len(g)
     assert np.isnan(out.loc["flat", "corr"])
+
+
+def test_skew_join_routes_match_plain_join(ray_session):
+    """skew_join == plain hash_join == pandas merge on a corpus where one
+    key holds 40% of the rows; hot-route-only (threshold 0-ish) and
+    cold-route-only (threshold > n) configurations all agree."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import skew_join
+
+    rng = np.random.RandomState(3)
+    n = 40_000
+    keys = rng.randint(0, 500, size=n).astype(np.int64)
+    keys[: n * 2 // 5] = 7  # one mega-hot key
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                          "rv": np.arange(500, dtype=np.int64) * 10})
+    right = right[right["k"] % 7 != 3]  # some left keys unmatched
+    expect = left.merge(right, on="k")
+
+    def run(threshold):
+        out = skew_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            on="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            hot_threshold=threshold).to_pandas()
+        return out.sort_values(["k", "lv"]).reset_index(drop=True)
+
+    exp = expect.sort_values(["k", "lv"]).reset_index(drop=True)
+    for thr in (1_000, 100_000):  # mixed routes / cold-only
+        got = run(thr)
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]],
+            check_dtype=False)

@@ -62,6 +62,8 @@ SQL_PAIRED = [
     # round-4 (cont.): bigram-LM perplexity quality scoring, median/MAD
     # robust outlier filter
     "docs_lm_perplexity", "events_value_outliers",
+    # round-4 (cont.): skew-aware join (both routes active at sf0.01)
+    "events_with_first_event",
 ]
 
 
