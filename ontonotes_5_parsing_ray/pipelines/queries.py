@@ -1174,8 +1174,10 @@ def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFra
     """Collocation mining: top-k adjacent token bigrams by pointwise mutual
     information, among bigrams seen >= min_count times. One streaming scan
     emits per-batch bigram and unigram partial counts (map-side combine);
-    both combines auto-route driver/distributed; PMI arithmetic happens on
-    the (vocabulary-sized) result. Rounded to 6 decimals for the SQL twin."""
+    the bigram combine stays a distributed Dataset (open vocabulary — it
+    never touches the driver), only the bounded unigram slice broadcasts;
+    scoring is per-batch and the top-k is blocks x k. Rounded to 6
+    decimals for the SQL twin."""
     from ..stages.relational import to_arrow
 
     docs = _read(sf_dir, "documents", columns=["text"])
@@ -1194,22 +1196,45 @@ def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFra
             "c": (list(bi.values()) + list(uni.values())),
         }))
 
-    counts = preagg_groupby(
+    import ray
+
+    # combined (w1, w2) combine stays a Dataset: the BIGRAM key space is
+    # open-vocabulary (O(corpus) distinct pairs at web scale) and never
+    # touches the driver; only the unigram slice (bounded vocabulary) is
+    # collected and broadcast for the PMI arithmetic.
+    counts = preagg_groupby_ds(
         docs.map_batches(gram_partials, batch_format="pandas"),
-        ["w1", "w2"], {"c": ("c", "sum")})
-    uni = counts[counts["w2"] == ""]
+        ["w1", "w2"], {"c": ("c", "sum")}).materialize()
+    from ..stages.relational import to_arrow as _ta
+
+    uni = counts.map_batches(
+        lambda b: _ta(b[b["w2"] == ""][["w1", "c"]]),
+        batch_format="pandas").to_pandas()
     n_tokens = float(uni["c"].sum())
-    uc = dict(zip(uni["w1"], uni["c"]))
-    bi = counts[(counts["w2"] != "") & (counts["c"] >= min_count)].copy()
-    c1 = bi["w1"].map(uc).to_numpy(np.float64)
-    c2 = bi["w2"].map(uc).to_numpy(np.float64)
-    c12 = bi["c"].to_numpy(np.float64)
-    bi["pmi"] = round_half_away(
-        np.log(c12 * n_tokens / (c1 * c2)), 6)
-    bi["n_pair"] = bi["c"].astype("int64")
-    out = bi[["w1", "w2", "n_pair", "pmi"]]
-    return topk(out, by=["pmi", "w1", "w2"],
-                ascending=[False, True, True], k=k)
+    uc_ref = ray.put(dict(zip(uni["w1"], uni["c"].astype(float))))
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        uc = ray.get(uc_ref)
+        bi = b[(b["w2"] != "") & (b["c"] >= min_count)].copy()
+        if not len(bi):
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        c1 = bi["w1"].map(uc).to_numpy(np.float64)
+        c2 = bi["w2"].map(uc).to_numpy(np.float64)
+        c12 = bi["c"].to_numpy(np.float64)
+        return pa.table({
+            "w1": pa.array(bi["w1"].tolist(), pa.string()),
+            "w2": pa.array(bi["w2"].tolist(), pa.string()),
+            "n_pair": pa.array(bi["c"].to_numpy(np.int64), pa.int64()),
+            "pmi": pa.array(round_half_away(
+                np.log(c12 * n_tokens / (c1 * c2)), 6), pa.float64()),
+        })
+
+    scored = counts.map_batches(score, batch_format="pandas")
+    return distributed_topk(scored, by=["pmi", "w1", "w2"],
+                            ascending=[False, True, True], k=k)
 
 
 def docs_typo_pairs(sf_dir: str, min_len: int = 3, min_count: int = 3) -> rd.Dataset:
