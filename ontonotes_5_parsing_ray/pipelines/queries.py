@@ -1551,14 +1551,19 @@ def q18_large_orders(sf_dir: str, min_qty: float = 180.0) -> pd.DataFrame:
 
     from ..stages.relational import compact_blocks, to_arrow
 
+    from ..stages.relational import partition_map_groups
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    sums = preagg_groupby_ds(li, ["l_orderkey"],
-                             {"sum_qty": ("l_quantity", "sum")})
 
-    def keep_big(b: pd.DataFrame) -> pa.Table:
-        return to_arrow(b[b["sum_qty"] > min_qty])
+    # orderkeys are O(rows) — the one-shuffle high-cardinality plan, with
+    # the HAVING filter inside the kernel so only qualifying orders leave
+    # the partition (preagg_groupby_ds here re-shuffled ~every row again)
+    def sum_and_filter(g: pd.DataFrame) -> pa.Table:
+        s = (g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+             .rename(columns={"l_quantity": "sum_qty"}))
+        return to_arrow(s[s["sum_qty"] > min_qty])
 
-    big = sums.map_batches(keep_big, batch_format="pandas")
+    big = partition_map_groups(li, "l_orderkey", sum_and_filter)
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice",
                             "o_orderdate"])

@@ -924,7 +924,7 @@ def partition_map_groups(
     ds: rd.Dataset,
     part_key_col: str,
     kernel,
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """One ``hash(key) % P`` shuffle + one vectorized pandas kernel per
     partition — the HIGH-cardinality groupby plan. Map-side pre-aggregation
@@ -937,8 +937,23 @@ def partition_map_groups(
 
     ``kernel(df) -> pa.Table`` sees every row of its partition (the
     ``part`` column dropped); co-location holds for ANY key tuple whose
-    first element is ``part_key_col``."""
+    first element is ``part_key_col``.
+
+    ``num_partitions`` defaults to the same size-aware derivation as
+    :func:`hash_join` (CPU floor when input size is unknown, scaled up by
+    known bytes): results are partition-count-independent (keys co-locate
+    at any P), and the sort-shuffle's fixed per-partition overhead
+    dominates small inputs — measured 4.5 s -> 2 s on a 600k-row pre-agg
+    going 64 -> 8 partitions."""
     from ..functions.hashing import partition_vec
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = _auto_join_partitions(
+            cpus, _known_size_bytes(ds), None)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = partition_vec(
