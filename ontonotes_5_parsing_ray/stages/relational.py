@@ -1629,9 +1629,12 @@ def skew_join(
 
     Scan budget (honest accounting): the left side is consumed once for the
     key-column-pruned count sample and once per route (hot/cold filters are
-    cheap map stages over the same scan) — 1 narrow + 2 full scans, the
-    price of not materializing an unbounded input. Callers with an
-    expensive upstream should pass a materialized/persisted left."""
+    cheap map stages over the same scan) — 1 narrow + 2 full scans. The
+    cold sides are additionally compacted (a spillable materialization,
+    comparable to the join's own aggregator buffering) because the hot/cold
+    filter empties whole blocks and ray 2.49's hash-shuffle join mishandles
+    empty first blocks. Callers with an expensive upstream should pass a
+    materialized/persisted left."""
     import ray
 
     from ..functions.hashing import partition_vec  # noqa: F401 (doc link)
@@ -1657,24 +1660,47 @@ def skew_join(
             return to_arrow(b[mask if keep_hot else ~mask])
         return f
 
-    cold = hash_join(
-        left.map_batches(side(False), batch_format="pandas"),
-        compact_blocks(right.map_batches(side(False),
-                                         batch_format="pandas")),
-        on=[on], num_partitions=num_partitions)
     out_cols = [on] + [c for c in left_cols if c != on] \
         + [c for c in right_cols if c != on]
 
     def project(b: pd.DataFrame) -> pa.Table:
         return to_arrow(b[out_cols])
 
-    cold = cold.map_batches(project, batch_format="pandas")
+    # both cold sides compact before the native join: the hot/cold filter
+    # empties whole blocks wherever hot rows cluster, and ray 2.49's
+    # hash-shuffle join builds schema-less aggregator tables when a side's
+    # empty first block swallows the schema broadcast (see compact_blocks).
+    # The materialization this costs is spillable and comparable to the
+    # join's own aggregator buffering; it also hands hash_join exact sizes.
+    left_cold = compact_blocks(
+        left.map_batches(side(False), batch_format="pandas"))
+    right_cold = compact_blocks(
+        right.map_batches(side(False), batch_format="pandas"))
+    cold = None
+    if left_cold.count() and right_cold.count():
+        cold = hash_join(left_cold, right_cold, on=[on],
+                         num_partitions=num_partitions) \
+            .map_batches(project, batch_format="pandas")
     if not hot:
-        return cold
+        if cold is not None:
+            return cold
+        # inner join with an empty side: typed-empty via the surviving
+        # side's key/value columns plus null right columns is overkill for
+        # a degenerate corner — emit a null-typed empty table
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], pa.null()) for c in out_cols}))
 
     right_hot = (right.map_batches(side(True), batch_format="pandas")
                  .to_pandas())
-    right_ref = ray.put(right_hot)
+    if right_hot.empty:
+        # hot LEFT keys with no right rows contribute nothing to an inner
+        # join — and an empty Dataset loses its schema through to_pandas,
+        # so the merge below would KeyError on the missing columns
+        if cold is not None:
+            return cold
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], pa.null()) for c in out_cols}))
+    right_ref = ray.put(right_hot[right_cols])
 
     def join_hot(b: pd.DataFrame) -> pa.Table:
         m = b[b[on].isin(ray.get(hot_ref))]
@@ -1682,4 +1708,4 @@ def skew_join(
         return to_arrow(merged[out_cols])
 
     hot_out = left.map_batches(join_hot, batch_format="pandas")
-    return cold.union(hot_out)
+    return hot_out if cold is None else cold.union(hot_out)

@@ -1281,3 +1281,23 @@ def test_skew_join_routes_match_plain_join(ray_session):
         pd.testing.assert_frame_equal(
             got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]],
             check_dtype=False)
+
+
+def test_skew_join_hot_keys_without_right_rows(ray_session):
+    """A hot left key absent from the right side contributes nothing to
+    the inner join (and must not crash on the empty hot-right payload)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import skew_join
+
+    left = pd.DataFrame({"k": np.repeat([1, 2], [5000, 50]).astype(np.int64),
+                         "lv": np.arange(5050, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2], dtype=np.int64),
+                          "rv": np.array([20], dtype=np.int64)})
+    out = skew_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right),
+                    on="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+                    hot_threshold=1000).to_pandas()
+    assert set(out["k"]) == {2} and len(out) == 50
