@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_bigrams": q.docs_pmi_bigrams,
         "docs_typo_pairs": q.docs_typo_pairs,
         "docs_lm_perplexity": q.docs_lm_perplexity,
+        "docs_frequent_pairs": q.docs_frequent_pairs,
         "customer_name_typos": q.customer_name_typos,
         "events_value_mad": q.events_value_mad,
         "events_session_paths": q.events_session_paths,
@@ -452,6 +453,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON bc.w2 = u2.w
             CROSS JOIN n
             ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        # Frequent-pair twin: distinct (doc, token) self-join within doc,
+        # support count, same >= floors on both sides. The A-priori token
+        # pre-filter is an optimization only — a pair's support is bounded
+        # by min(df), so it cannot change the result set.
+        "docs_frequent_pairs": """
+            WITH dt AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS n_docs
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2 HAVING count(*) >= 20
+            ORDER BY n_docs DESC, w1, w2 LIMIT 20
         """,
         # Perplexity twin: the same add-one bigram model spelled out in
         # SQL — unigram/bigram counts, per-position smoothed ln P, doc

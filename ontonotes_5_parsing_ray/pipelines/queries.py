@@ -1237,6 +1237,57 @@ def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFra
                             ascending=[False, True, True], k=k)
 
 
+def docs_frequent_pairs(sf_dir: str, min_support: int = 20, k: int = 20) -> pd.DataFrame:
+    """Frequent itemset mining, A-priori level 2: the top-k token PAIRS
+    co-occurring (anywhere, not just adjacent) in >= min_support documents.
+    The A-priori pruning step is what keeps it bounded: a pair's support
+    <= min(token document frequencies), so only tokens with df >=
+    min_support (a distributed combine; the frequent set broadcasts — it
+    is vocabulary-bounded BY the support threshold) ever enter per-doc pair
+    expansion, and the pair key space is frequent-vocab^2, not corpus-
+    sized."""
+    import ray
+
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(set(t.split()))
+        return to_arrow(pd.DataFrame({
+            "token": list(c.keys()), "c": list(c.values())}))
+
+    dfs = preagg_groupby(
+        docs.map_batches(df_partials, batch_format="pandas"),
+        ["token"], {"c": ("c", "sum")})
+    freq_ref = ray.put(set(dfs[dfs["c"] >= min_support]["token"]))
+
+    def pair_partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        from itertools import combinations
+        freq = ray.get(freq_ref)
+        c: Counter = Counter()
+        for t in b["text"]:
+            toks = sorted(set(t.split()) & freq)
+            c.update(combinations(toks, 2))
+        return to_arrow(pd.DataFrame({
+            "w1": [a for a, _ in c.keys()],
+            "w2": [b2 for _, b2 in c.keys()],
+            "n_docs": list(c.values()),
+        }))
+
+    pairs = preagg_groupby(
+        docs.map_batches(pair_partials, batch_format="pandas"),
+        ["w1", "w2"], {"n_docs": ("n_docs", "sum")})
+    pairs = pairs[pairs["n_docs"] >= min_support].copy()
+    pairs["n_docs"] = pairs["n_docs"].astype("int64")
+    return topk(pairs, by=["n_docs", "w1", "w2"],
+                ascending=[False, True, True], k=k)
+
+
 def docs_typo_pairs(sf_dir: str, min_len: int = 3, min_count: int = 3) -> rd.Dataset:
     """SymSpell-style typo detection: all pairs of distinct vocabulary
     tokens (len >= 3, corpus count >= 3) at edit distance exactly 1 — the

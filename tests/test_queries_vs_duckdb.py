@@ -62,8 +62,9 @@ SQL_PAIRED = [
     # round-4 (cont.): bigram-LM perplexity quality scoring, median/MAD
     # robust outlier filter
     "docs_lm_perplexity", "events_value_outliers",
-    # round-4 (cont.): skew-aware join (both routes active at sf0.01)
-    "events_with_first_event",
+    # round-4 (cont.): skew-aware join (both routes active at sf0.01),
+    # A-priori frequent token pairs
+    "events_with_first_event", "docs_frequent_pairs",
 ]
 
 
