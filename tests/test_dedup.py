@@ -620,3 +620,44 @@ def test_token_typo_pairs_planted(ray_session):
     assert got == expect
     assert ("data", "date") in got and ("date", "gate") in got
     assert ("table", "tibles") not in got
+
+
+def test_ngram_jaccard_random_corpus_multi_threshold(ray_session):
+    """PPJoin pruning is recall-lossless at awkward thresholds: seeded
+    random corpora (common base + mutations => many boundary-Jaccard
+    pairs) match brute force exactly at t in {0.34, 0.5, 0.72}."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.functions.hashing import (
+        jaccard,
+        word_shingles,
+    )
+    from ontonotes_5_parsing_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(99)
+    vocab = [f"t{i}" for i in range(40)]
+    base = [vocab[i] for i in rng.randint(0, 40, size=30)]
+    texts = []
+    for _ in range(60):
+        toks = list(base)
+        for _m in range(rng.randint(0, 12)):
+            toks[rng.randint(0, len(toks))] = vocab[rng.randint(0, 40)]
+        if rng.rand() < 0.3:
+            toks = toks[: rng.randint(10, len(toks))]
+        texts.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    sh = {i: frozenset(word_shingles(t.split(), 3))
+          for i, t in enumerate(texts)}
+    for t in (0.34, 0.5, 0.72):
+        out = ngram_jaccard_pairs(ds, threshold=t, gram_n=3).to_pandas()
+        got = set(zip(out["doc_a"], out["doc_b"]))
+        exp = {(a, b) for a, b in
+               itertools.combinations(range(len(texts)), 2)
+               if jaccard(sh[a], sh[b]) >= t}
+        assert got == exp, (t, got ^ exp)
