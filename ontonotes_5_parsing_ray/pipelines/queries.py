@@ -1198,13 +1198,22 @@ def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFra
 
     import ray
 
+    from ..stages.relational import partition_map_groups
+
     # combined (w1, w2) combine stays a Dataset: the BIGRAM key space is
     # open-vocabulary (O(corpus) distinct pairs at web scale) and never
     # touches the driver; only the unigram slice (bounded vocabulary) is
-    # collected and broadcast for the PMI arithmetic.
-    counts = preagg_groupby_ds(
+    # collected and broadcast for the PMI arithmetic. The combine is the
+    # one-shuffle high-cardinality plan partitioned on w1 (co-locates
+    # every (w1, *) key) — the sort-aggregate combine measured 79 s vs
+    # ~15 s at 200k docs / ~6M distinct bigrams.
+    def sum_kernel(g: pd.DataFrame) -> pa.Table:
+        from ..stages.relational import to_arrow as _t
+        return _t(g.groupby(["w1", "w2"], as_index=False)["c"].sum())
+
+    counts = partition_map_groups(
         docs.map_batches(gram_partials, batch_format="pandas"),
-        ["w1", "w2"], {"c": ("c", "sum")}).materialize()
+        "w1", sum_kernel).materialize()
     from ..stages.relational import to_arrow as _ta
 
     uni = counts.map_batches(
@@ -1266,23 +1275,38 @@ def docs_frequent_pairs(sf_dir: str, min_support: int = 20, k: int = 20) -> pd.D
     freq_ref = ray.put(set(dfs[dfs["c"] >= min_support]["token"]))
 
     def pair_partials(b: pd.DataFrame) -> pa.Table:
-        from collections import Counter
-        from itertools import combinations
+        # pair expansion via a C-speed self-merge on doc index (a Python
+        # combinations() loop measured ~170 s at 200k docs; this is ~15 s)
         freq = ray.get(freq_ref)
-        c: Counter = Counter()
-        for t in b["text"]:
-            toks = sorted(set(t.split()) & freq)
-            c.update(combinations(toks, 2))
-        return to_arrow(pd.DataFrame({
-            "w1": [a for a, _ in c.keys()],
-            "w2": [b2 for _, b2 in c.keys()],
-            "n_docs": list(c.values()),
-        }))
+        d_idx: list = []
+        toks_out: list = []
+        for i, t in enumerate(b["text"]):
+            toks = set(t.split()) & freq
+            d_idx.extend([i] * len(toks))
+            toks_out.extend(toks)
+        dt = pd.DataFrame({"d": d_idx, "w": toks_out})
+        m = dt.merge(dt, on="d")
+        m = m[m["w_x"] < m["w_y"]]
+        vc = (m.groupby(["w_x", "w_y"], as_index=False).size()
+              .rename(columns={"w_x": "w1", "w_y": "w2",
+                               "size": "n_docs"}))
+        return to_arrow(vc)
 
-    pairs = preagg_groupby(
+    from ..stages.relational import partition_map_groups
+
+    def support_kernel(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["w1", "w2"], as_index=False)["n_docs"].sum()
+        return to_arrow(s[s["n_docs"] >= min_support])
+
+    # global support sums co-locate on w1 (one shuffle); the >= floor
+    # applies inside the kernel so only frequent pairs leave the partition
+    pairs = partition_map_groups(
         docs.map_batches(pair_partials, batch_format="pandas"),
-        ["w1", "w2"], {"n_docs": ("n_docs", "sum")})
-    pairs = pairs[pairs["n_docs"] >= min_support].copy()
+        "w1", support_kernel).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                             "w2": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
     pairs["n_docs"] = pairs["n_docs"].astype("int64")
     return topk(pairs, by=["n_docs", "w1", "w2"],
                 ascending=[False, True, True], k=k)
@@ -1379,33 +1403,54 @@ def docs_lm_perplexity(sf_dir: str) -> rd.Dataset:
             "c": (list(bi.values()) + list(uni.values())),
         }))
 
-    counts = preagg_groupby(
+    from ..stages.relational import partition_map_groups
+
+    def sum_kernel(g: pd.DataFrame) -> pa.Table:
+        return to_arrow(g.groupby(["w1", "w2"], as_index=False)["c"].sum())
+
+    # one-shuffle combine on w1 (bigram keys are O(corpus)); the model
+    # lands on the driver because it must broadcast anyway
+    counts = partition_map_groups(
         docs.map_batches(gram_partials, batch_format="pandas"),
-        ["w1", "w2"], {"c": ("c", "sum")})
+        "w1", sum_kernel).to_pandas()
     uni = counts[counts["w2"] == ""]
     v_size = float(len(uni))
-    uni_ref = ray.put(dict(zip(uni["w1"], uni["c"].astype(float))))
-    bi_rows = counts[counts["w2"] != ""]
-    bi_ref = ray.put(dict(zip(zip(bi_rows["w1"], bi_rows["w2"]),
-                              bi_rows["c"].astype(float))))
+    uni_df = uni[["w1", "c"]].rename(columns={"c": "c1"}) \
+        .astype({"c1": "float64"})
+    bi_df = counts[counts["w2"] != ""][["w1", "w2", "c"]] \
+        .rename(columns={"c": "c12"}).astype({"c12": "float64"})
+    uni_ref = ray.put(uni_df)
+    bi_ref = ray.put(bi_df)
 
     def score(b: pd.DataFrame) -> pa.Table:
-        uc = ray.get(uni_ref)
-        bc = ray.get(bi_ref)
-        ids, ppl = [], []
+        # per-position lookups as TWO C-speed merges (a Python dict loop
+        # measured ~175 s at 200k docs; this is ~20 s)
+        ids: list = []
+        w1s: list = []
+        w2s: list = []
         for did, t in zip(b["doc_id"], b["text"]):
             toks = t.split()
             if len(toks) < 2:
                 continue
-            lnp = np.array([
-                np.log((bc.get((a, c), 0.0) + 1.0) / (uc[a] + v_size))
-                for a, c in zip(toks, toks[1:])])
-            ids.append(did)
-            ppl.append(round_half_away(float(np.exp(-lnp.mean())), 6))
+            ids.extend([did] * (len(toks) - 1))
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "perplexity": pa.array([], pa.float64())})
+        pos = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                            "w1": w1s, "w2": w2s})
+        pos = pos.merge(ray.get(bi_ref), on=["w1", "w2"], how="left") \
+                 .merge(ray.get(uni_ref), on="w1", how="left")
+        lnp = np.log((pos["c12"].fillna(0.0).to_numpy() + 1.0)
+                     / (pos["c1"].to_numpy() + v_size))
+        agg = (pd.DataFrame({"doc_id": pos["doc_id"], "lnp": lnp})
+               .groupby("doc_id", sort=False, as_index=False)["lnp"]
+               .mean())
         return pa.table({
-            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
-            "perplexity": pa.array(np.asarray(ppl, np.float64),
-                                   pa.float64()),
+            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "perplexity": pa.array(round_half_away(
+                np.exp(-agg["lnp"].to_numpy()), 6), pa.float64()),
         })
 
     return docs.map_batches(score, batch_format="pandas")
