@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q.events_value_outliers,
         "events_with_first_event": q.events_with_first_event,
         "docs_source_entropy": q.docs_source_entropy,
+        "docs_source_kl": q.docs_source_kl,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_bpe_tokens": q.docs_bpe_tokens,
         "docs_clean_corpus": q.docs_clean_corpus,
@@ -617,6 +618,37 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
             FROM c JOIN n USING (source)
             GROUP BY c.source, n.n
+        """,
+        # KL-drift twin: full-vocabulary grid (absent tokens carry their
+        # smoothed mass), identical smoothing arithmetic per term.
+        "docs_source_kl": """
+            WITH tk AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            ), sc AS (
+                SELECT source, w, count(*)::DOUBLE AS c
+                FROM tk GROUP BY 1, 2
+            ), cc AS (
+                SELECT w, count(*)::DOUBLE AS c FROM tk GROUP BY w
+            ), v AS (
+                SELECT count(*)::DOUBLE AS v, sum(c) AS n FROM cc
+            ), ns AS (
+                SELECT source, sum(c) AS n_s FROM sc GROUP BY source
+            ), grid AS (
+                SELECT ns.source, ns.n_s, cc.c AS cq,
+                       coalesce(sc.c, 0.0) AS cp
+                FROM ns CROSS JOIN cc
+                LEFT JOIN sc ON sc.source = ns.source AND sc.w = cc.w
+            )
+            SELECT g.source,
+                   any_value(g.n_s)::BIGINT AS n_tokens,
+                   round(sum(((g.cp + 1) / (g.n_s + v.v))
+                             * ln(((g.cp + 1) / (g.n_s + v.v))
+                                  / ((g.cq + 1) / (v.n + v.v)))), 6)
+                       AS kl
+            FROM grid g CROSS JOIN v GROUP BY g.source
         """,
         # Fuzzy record-linkage twin with real signal: serial-numbered
         # customer names pair at distance 1 whenever one digit differs.

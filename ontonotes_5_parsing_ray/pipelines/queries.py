@@ -482,6 +482,47 @@ def events_session_paths(sf_dir: str, k: int = 20) -> pd.DataFrame:
                 ascending=[False, True, True, True], k=k)
 
 
+def docs_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shift detection: per source, the add-one-smoothed KL
+    divergence D(source unigram dist || corpus unigram dist) — the
+    domain-drift score curation pipelines use to spot outlier slices.
+    Reuses the entropy operator's (source, token) map-side partials; the
+    KL sum runs over the FULL vocabulary (absent tokens contribute their
+    smoothed mass), vectorized on the vocabulary-sized combine."""
+    from ..stages.relational import to_arrow
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(b: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for s, t in zip(b["source"], b["text"]):
+            for w in t.split():
+                c[(s, w)] += 1
+        return to_arrow(pd.DataFrame({
+            "source": [s for s, _ in c.keys()],
+            "token": [w for _, w in c.keys()],
+            "c": list(c.values()),
+        }))
+
+    counts = preagg_groupby(
+        docs.map_batches(partials, batch_format="pandas"),
+        ["source", "token"], {"c": ("c", "sum")})
+    pivot = counts.pivot_table(index="token", columns="source",
+                               values="c", fill_value=0.0)
+    vocab_v = float(len(pivot))
+    corpus_c = pivot.to_numpy(np.float64).sum(axis=1)
+    q = (corpus_c + 1.0) / (corpus_c.sum() + vocab_v)
+    out = []
+    for src in sorted(pivot.columns):
+        cs = pivot[src].to_numpy(np.float64)
+        p = (cs + 1.0) / (cs.sum() + vocab_v)
+        out.append({"source": src, "n_tokens": int(cs.sum()),
+                    "kl": round_half_away(
+                        float((p * np.log(p / q)).sum()), 6)})
+    return pd.DataFrame(out)
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type interpolated quantiles (p25/p50/p75/p90/p99) via the
     generalized histogram-refinement selection — one stats pass, one
