@@ -229,21 +229,6 @@ def _block_pairs_partition(group: pd.DataFrame, threshold: float) -> pa.Table:
                      "b": pa.array(b_out, pa.string())})
 
 
-def distinct_norms(surfaces: rd.Dataset) -> rd.Dataset:
-    """Distinct ``norm`` values with a map-side combine: per-batch dedup in
-    ``map_batches`` shrinks the shuffle input before the global groupby."""
-    def per_batch_distinct(batch: pa.Table) -> pa.Table:
-        norms = sorted(set(batch.column("norm").to_pylist()))
-        return pa.table({"norm": pa.array(norms, pa.string())})
-
-    deduped = surfaces.map_batches(per_batch_distinct, batch_format="pyarrow")
-    return deduped.groupby("norm").aggregate(Min("norm", alias_name="norm_min")) \
-                  .map_batches(
-                      lambda t: pa.table({"norm": t.column("norm")}),
-                      batch_format="pyarrow",
-                  )
-
-
 # Below this vocabulary size, clustering runs on the driver with the exact
 # same kernel the oracle uses (functions.canon.cluster_surfaces) — the
 # "small side -> driver object" pattern. Above it, the distributed

@@ -39,19 +39,6 @@ _EMPTY = {
 }
 
 
-def link_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation linking; input = annotated turns of ONE conv_id.
-
-    Dead-letter rows (``ok == False``) pass through as ``row_kind='error'``
-    so one grouping pass produces mentions, triples AND the error channel —
-    annotation never re-runs for a second consumer.
-    """
-    rows = _conv_rows(group)
-    if not rows:
-        return pd.DataFrame({c: pd.Series(dtype=_dtype(c)) for c in UNION_COLUMNS})
-    return pd.DataFrame(rows, columns=UNION_COLUMNS)
-
-
 def link_partition_group(group: pd.DataFrame) -> pd.DataFrame:
     """One conv-hash PARTITION of annotated turns: run the per-conversation
     kernel conversation by conversation but build ONE output frame for the
@@ -148,13 +135,6 @@ _BULK_EMPTY = {
     "subj_pending": "", "obj_pending": "", "error": "", "summary_json": "",
     "ts": -1, "lang": "",
 }
-
-
-def link_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Phase A group fn: one (conv_id, turn_bucket) — bounded memory even
-    for a 10^7-turn conversation."""
-    rows = _bucket_rows(group)
-    return pd.DataFrame(rows, columns=BULK_COLUMNS)
 
 
 def link_bucket_partition(group: pd.DataFrame) -> pd.DataFrame:

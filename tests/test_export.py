@@ -86,3 +86,26 @@ def test_reference_json_loader_validation(tmp_path):
         "text": "a bc d", "morphology": {"NN": [[1, 5]]}, "syntax": {},
         "entities": {}}]}))
     assert ann.iloc[0]["start"] == 2 and ann.iloc[0]["end"] == 4
+
+
+def test_load_reference_json_dataset_roundtrip(ray_session, tiny_transcripts,
+                                               tmp_path):
+    """The Dataset-returning loader wraps load_reference_json: same
+    long-form annotation rows, exposed as a distributed Dataset."""
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.pipelines.export import (
+        build_reference_samples,
+        load_reference_json,
+        load_reference_json_dataset,
+        write_reference_json,
+    )
+
+    annotated = _annotated_with_split(ray_session, tiny_transcripts)
+    samples = build_reference_samples(annotated).materialize()
+    path = str(tmp_path / "ref.json")
+    write_reference_json(samples, path)
+    _samples, frame = load_reference_json(path)
+    ds = load_reference_json_dataset(path)
+    assert isinstance(ds, rd.Dataset)
+    assert ds.count() == len(frame)
