@@ -176,32 +176,53 @@ def _bucket_pair_arrays(
         aggs = {id_col: "min", **{c: "min" for c in filter_cols}}
         df = df.groupby([bucket_col] + collapse_cols, as_index=False,
                         sort=False).agg(aggs)
+    # one vectorized pass instead of a Python loop per bucket (76k tiny
+    # buckets cost ~5 s iterating pandas groups; this is ~0.2 s): sort by
+    # (bucket, id), then every SIZE CLASS s reshapes its buckets into an
+    # (n_buckets, s) matrix and emits all triu pairs with one gather.
+    df = (df.drop_duplicates([bucket_col, id_col])
+          .sort_values([bucket_col, id_col], kind="mergesort"))
+    sizes = df.groupby(bucket_col, sort=False)[id_col] \
+        .transform("size").to_numpy()
+    ids_all = df[id_col].to_numpy()
+    attrs_all = {c: df[c].to_numpy() for c in filter_cols}
     a_chunks: List[np.ndarray] = []
     b_chunks: List[np.ndarray] = []
     dropped = 0
-    for _bucket, g in df.groupby(bucket_col, sort=False):
-        if filter_cols:
-            g = g.sort_values(id_col, kind="mergesort")
+
+    def emit(A: np.ndarray, B: np.ndarray, attr_pairs) -> None:
+        if pair_filter is not None and filter_cols:
+            keep = np.asarray(pair_filter(*attr_pairs))
+            A, B = A[keep], B[keep]
+        if len(A):
+            a_chunks.append(A.astype(np.int64))
+            b_chunks.append(B.astype(np.int64))
+
+    for s in np.unique(sizes):
+        s = int(s)
+        if s < 2 or (max_bucket is not None and s > max_bucket):
+            continue
+        mask = sizes == s
+        ids2 = ids_all[mask].reshape(-1, s)
+        iu, ju = np.triu_indices(s, 1)
+        at = {c: attrs_all[c][mask].reshape(-1, s) for c in filter_cols}
+        emit(ids2[:, iu].ravel(), ids2[:, ju].ravel(),
+             ({c: v[:, iu].ravel() for c, v in at.items()},
+              {c: v[:, ju].ravel() for c, v in at.items()}))
+
+    if max_bucket is not None and (sizes > max_bucket).any():
+        # over-cap buckets: rare by construction — per-bucket loop with
+        # truncation to the first max_bucket (sorted) ids, drop logged
+        for _bucket, g in df[sizes > max_bucket].groupby(bucket_col,
+                                                         sort=False):
             ids = g[id_col].to_numpy()
-            attrs = {c: g[c].to_numpy() for c in filter_cols}
-        else:
-            ids = np.unique(g[id_col].to_numpy())
-            attrs = None
-        if max_bucket is not None and len(ids) > max_bucket:
             dropped += len(ids) - max_bucket
             ids = ids[:max_bucket]
-            if attrs is not None:
-                attrs = {c: v[:max_bucket] for c, v in attrs.items()}
-        if len(ids) > 1:
             iu, ju = np.triu_indices(len(ids), 1)
-            if pair_filter is not None and attrs is not None:
-                keep = pair_filter({c: v[iu] for c, v in attrs.items()},
-                                   {c: v[ju] for c, v in attrs.items()})
-                iu, ju = iu[keep], ju[keep]
-                if not len(iu):
-                    continue
-            a_chunks.append(ids[iu].astype(np.int64))
-            b_chunks.append(ids[ju].astype(np.int64))
+            at = {c: g[c].to_numpy()[:max_bucket] for c in filter_cols}
+            emit(ids[iu], ids[ju],
+                 ({c: v[iu] for c, v in at.items()},
+                  {c: v[ju] for c, v in at.items()}))
     if dropped:
         logger.warning(
             "LSH hot-bucket cap dropped %d representatives beyond "
@@ -243,40 +264,52 @@ def _candidate_pairs(
     # drives BOTH the total-pair budget (effective cap) and the
     # driver/distributed routing. Routing on band-ROW count alone is
     # wrong: 800k rows can enumerate 50M+ pairs when buckets correlate.
-    def _size_partials(t: pa.Table) -> pa.Table:
-        col = t.column(bucket_col)
+    # Small band tables compute the histogram on the driver in one
+    # value_counts — the distributed version below is three extra Dataset
+    # jobs whose fixed overhead (~5 s) dwarfed tiny inputs (80k band rows
+    # producing 241 candidates spent 5.8 s mostly here).
+    if n_rows <= driver_limit:
         vc = pd.Series(
-            col.to_numpy(zero_copy_only=False)).value_counts()
-        # keep the ORIGINAL arrow type: uint64 band keys overflow an
-        # inferred int64, string keys must stay strings
-        return pa.table({
-            "bucket": pa.array(vc.index.to_numpy(), type=col.type),
-            "c": pa.array(vc.to_numpy(), pa.int64()),
-        })
+            bucket_rows.select_columns([bucket_col]).to_pandas()
+            [bucket_col].to_numpy()).value_counts().to_numpy(np.int64)
+        big_sizes = vc[vc > 64]
+        small = vc[vc <= 64]
+        small_pairs = int((small * (small - 1) // 2).sum())
+    else:
+        def _size_partials(t: pa.Table) -> pa.Table:
+            col = t.column(bucket_col)
+            vcp = pd.Series(
+                col.to_numpy(zero_copy_only=False)).value_counts()
+            # keep the ORIGINAL arrow type: uint64 band keys overflow an
+            # inferred int64, string keys must stay strings
+            return pa.table({
+                "bucket": pa.array(vcp.index.to_numpy(), type=col.type),
+                "c": pa.array(vcp.to_numpy(), pa.int64()),
+            })
 
-    from .relational import preagg_groupby_ds
+        from .relational import preagg_groupby_ds
 
-    sizes = preagg_groupby_ds(
-        bucket_rows.map_batches(_size_partials, batch_format="pyarrow"),
-        ["bucket"], {"c": ("c", "sum")})
-    sizes = sizes.materialize()  # reused: big-bucket fetch + small sum
-    big = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t.column("c"), pa.scalar(64)))
-        .select(["c"]),
-        batch_format="pyarrow").to_pandas()
-    big_sizes = (big["c"].to_numpy(np.int64) if "c" in big.columns
-                 else np.array([], dtype=np.int64))  # empty ds drops schema
+        sizes = preagg_groupby_ds(
+            bucket_rows.map_batches(_size_partials, batch_format="pyarrow"),
+            ["bucket"], {"c": ("c", "sum")})
+        sizes = sizes.materialize()  # reused: big-bucket fetch + small sum
+        big = sizes.map_batches(
+            lambda t: t.filter(pc.greater(t.column("c"), pa.scalar(64)))
+            .select(["c"]),
+            batch_format="pyarrow").to_pandas()
+        big_sizes = (big["c"].to_numpy(np.int64) if "c" in big.columns
+                     else np.array([], dtype=np.int64))  # empty ds drops schema
 
-    def _small_pair_partials(t: pa.Table) -> pa.Table:
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        c = c[c <= 64]
-        return pa.table({"p": pa.array([int((c * (c - 1) // 2).sum())],
-                                       pa.int64())})
+        def _small_pair_partials(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            c = c[c <= 64]
+            return pa.table({"p": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64())})
 
-    small_pairs = sum(
-        int(v) for blk in sizes.map_batches(
-            _small_pair_partials, batch_format="pyarrow"
-        ).iter_batches(batch_format="pandas") for v in blk["p"])
+        small_pairs = sum(
+            int(v) for blk in sizes.map_batches(
+                _small_pair_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pandas") for v in blk["p"])
     eff_cap, est_pairs = _effective_bucket_cap(
         big_sizes, small_pairs,
         max_bucket if max_bucket is not None else _CAP_LADDER[0],
