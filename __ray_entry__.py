@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": q.events_value_mad,
         "events_session_paths": q.events_session_paths,
         "events_value_outliers": q.events_value_outliers,
+        "events_cohort_retention": q.events_cohort_retention,
         "events_with_first_event": q.events_with_first_event,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -582,6 +583,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN (SELECT user_id, first_type FROM f WHERE rn = 1) f
               USING (user_id)
+        """,
+        # Cohort-retention twin: epoch-floor week buckets, per-user min
+        # week as the cohort, distinct users per (cohort, offset).
+        "events_cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 1000000) // 604800 AS week
+                FROM events
+            ), c AS (
+                SELECT user_id, week,
+                       min(week) OVER (PARTITION BY user_id)
+                           AS cohort_week
+                FROM uw
+            )
+            SELECT cohort_week,
+                   (week - cohort_week)::BIGINT AS week_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM c GROUP BY 1, 2
         """,
         # Robust-outlier twin: same median/MAD rule; both sides derive the
         # identical exact medians, so the strict > boundary agrees.

@@ -347,6 +347,47 @@ def events_with_first_event(sf_dir: str, hot_threshold: int = 70) -> rd.Dataset:
                      hot_threshold=hot_threshold)
 
 
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity week
+    (the cohort), counted as retained in each later week they were active —
+    the canonical product-analytics rollup. One user-hash shuffle computes
+    per-user (cohort_week, active_week distinct set) vectorized inside the
+    partition; the combine is the tiny cohorts x offsets grid."""
+    from ..stages.relational import partition_map_groups, to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        weeks = (b["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64) // 1_000_000) // (7 * 86400)
+        return to_arrow(pd.DataFrame({"user_id": b["user_id"],
+                                      "week": weeks}))
+
+    def retention_kernel(g: pd.DataFrame) -> pa.Table:
+        uw = g.drop_duplicates(["user_id", "week"])
+        cohort = uw.groupby("user_id", sort=False)["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": cohort.to_numpy(),
+            "week_offset": uw["week"].to_numpy() - cohort.to_numpy(),
+            "user_id": uw["user_id"].to_numpy(),
+        }).drop_duplicates()
+        cnt = (out.groupby(["cohort_week", "week_offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return to_arrow(cnt)
+
+    parts = partition_map_groups(
+        events.map_batches(prep, batch_format="pandas"),
+        "user_id", retention_kernel)
+    combined = (parts.to_pandas()
+                .groupby(["cohort_week", "week_offset"], as_index=False)
+                ["n_users"].sum())
+    combined = combined.astype({"cohort_week": "int64",
+                                "week_offset": "int64",
+                                "n_users": "int64"})
+    return combined.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+
 def events_value_outliers(sf_dir: str, n_mads: float = 5.0) -> rd.Dataset:
     """Robust outlier detection: events whose value sits more than
     ``n_mads`` MADs from their type's median — the classic

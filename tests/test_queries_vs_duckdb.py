@@ -65,8 +65,8 @@ SQL_PAIRED = [
     # round-4 (cont.): skew-aware join (both routes active at sf0.01),
     # A-priori frequent token pairs
     "events_with_first_event", "docs_frequent_pairs",
-    # round-4 (cont.): per-source KL domain-drift scoring
-    "docs_source_kl",
+    # round-4 (cont.): per-source KL domain-drift scoring, cohort retention
+    "docs_source_kl", "events_cohort_retention",
 ]
 
 
