@@ -104,6 +104,12 @@ def run_bench() -> dict:
         ("events_value_time_corr", q.events_value_time_corr),
         ("order_ship_day_coverage", q.order_ship_day_coverage),
         ("q18_large_orders", q.q18_large_orders),
+        ("docs_pmi_bigrams", q.docs_pmi_bigrams),
+        ("docs_lm_perplexity", lambda d: q.docs_lm_perplexity(d).count()),
+        ("events_session_paths", q.events_session_paths),
+        ("events_cohort_retention", q.events_cohort_retention),
+        ("customer_name_typos",
+         lambda d: q.customer_name_typos(d).count()),
     ]:
         t1 = time.time()
         fn(sf_dir)
