@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_paths": q.events_session_paths,
         "events_value_outliers": q.events_value_outliers,
         "events_cohort_retention": q.events_cohort_retention,
+        "events_funnel_3step": q.events_funnel_3step,
         "events_with_first_event": q.events_with_first_event,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -583,6 +584,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN (SELECT user_id, first_type FROM f WHERE rn = 1) f
               USING (user_id)
+        """,
+        # 3-step funnel twin: the same strict-after window semantics as
+        # the interval-join oracle, chained; per-step distinct users.
+        "events_funnel_3step": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) // 1000000 AS ep
+                FROM events
+            ), vc AS (
+                SELECT DISTINCT c.user_id, c.event_id, c.ep
+                FROM e v JOIN e c ON c.user_id = v.user_id
+                WHERE v.event_type = 'view' AND c.event_type = 'click'
+                  AND c.ep > v.ep AND c.ep <= v.ep + 3600
+            ), vcp AS (
+                SELECT DISTINCT p.user_id
+                FROM e p JOIN vc ON vc.user_id = p.user_id
+                WHERE p.event_type = 'purchase'
+                  AND p.ep > vc.ep AND p.ep <= vc.ep + 3600
+            )
+            SELECT (SELECT count(DISTINCT user_id) FROM e
+                    WHERE event_type = 'view')::BIGINT AS n_view_users,
+                   (SELECT count(DISTINCT user_id) FROM vc)::BIGINT
+                       AS n_view_click_users,
+                   (SELECT count(*) FROM vcp)::BIGINT
+                       AS n_full_funnel_users
         """,
         # Cohort-retention twin: epoch-floor week buckets, per-user min
         # week as the cohort, distinct users per (cohort, offset).

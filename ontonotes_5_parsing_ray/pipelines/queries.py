@@ -798,6 +798,60 @@ def events_view_then_purchase(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(finish, batch_format="pandas")
 
 
+def events_funnel_3step(sf_dir: str, window: int = 3600) -> pd.DataFrame:
+    """Three-step funnel (view -> click -> purchase, each step within
+    ``window`` seconds of the previous): per-step DISTINCT user counts —
+    two chained stream-stream interval joins. Stage 1 runs in
+    single-source mode (one event scan); its surviving (click, time)
+    rows become stage 2's left side. Step counts are the two-level
+    distinct combine each."""
+    from ..stages.relational import interval_join, to_arrow
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+
+    def carve(kinds, side_of=None):
+        def f(b: pd.DataFrame) -> pa.Table:
+            s = b[b["event_type"].isin(kinds)].copy()
+            s["ep"] = (s["ts"].astype("datetime64[us]").astype("int64")
+                       // 1_000_000)
+            if side_of is not None:
+                s["side"] = np.where(
+                    s["event_type"].to_numpy() == side_of,
+                    np.int8(0), np.int8(1))
+            return to_arrow(
+                s[["event_id", "user_id", "ep"]
+                  + (["side"] if side_of is not None else [])])
+        return events.map_batches(f, batch_format="pandas")
+
+    vc = interval_join(carve(["view", "click"], side_of="view"), None,
+                       key_col="user_id", time_col="ep", window=window)
+
+    def clicks_after_views(b: pd.DataFrame) -> pa.Table:
+        out = b[["key", "r_id", "r_time"]].drop_duplicates() \
+            .rename(columns={"key": "user_id", "r_id": "event_id",
+                             "r_time": "ep"})
+        return to_arrow(out)
+
+    stage2_left = vc.map_batches(clicks_after_views, batch_format="pandas")
+    vcp = interval_join(stage2_left, carve(["purchase"]),
+                        key_col="user_id", time_col="ep", window=window)
+
+    def distinct_users(ds: rd.Dataset, col: str) -> int:
+        def d(b: pd.DataFrame) -> pa.Table:
+            return to_arrow(pd.DataFrame(
+                {"u": pd.unique(b[col].to_numpy())}))
+        parts = ds.map_batches(d, batch_format="pandas").to_pandas()
+        return int(parts["u"].nunique()) if len(parts) else 0
+
+    views = carve(["view"])
+    return pd.DataFrame({
+        "n_view_users": [distinct_users(views, "user_id")],
+        "n_view_click_users": [distinct_users(vc, "key")],
+        "n_full_funnel_users": [distinct_users(vcp, "key")],
+    }).astype("int64")
+
+
 def events_user_top_type(sf_dir: str) -> rd.Dataset:
     """Grouped mode (argmax aggregate): each user's most frequent event
     type, ties -> lexicographically smallest type. High-cardinality plan

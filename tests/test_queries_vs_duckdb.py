@@ -66,7 +66,7 @@ SQL_PAIRED = [
     # A-priori frequent token pairs
     "events_with_first_event", "docs_frequent_pairs",
     # round-4 (cont.): per-source KL domain-drift scoring, cohort retention
-    "docs_source_kl", "events_cohort_retention",
+    "docs_source_kl", "events_cohort_retention", "events_funnel_3step",
 ]
 
 
