@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q.events_value_outliers,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel_3step": q.events_funnel_3step,
+        "events_value_winsorized": q.events_value_winsorized,
         "events_with_first_event": q.events_with_first_event,
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -584,6 +585,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN (SELECT user_id, first_type FROM f WHERE rn = 1) f
               USING (user_id)
+        """,
+        # Winsorized-aggregate twin: quantile_cont bounds (the exact
+        # histogram-refinement quantiles hash-match these), then
+        # least/greatest clipping before the sum.
+        "events_value_winsorized": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS p05,
+                       quantile_cont(value, 0.95) AS p95
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   round(any_value(b.p05), 6) AS p05,
+                   round(any_value(b.p95), 6) AS p95,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(least(greatest(e.value, b.p05), b.p95)), 6)
+                       AS winsorized_sum
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type
         """,
         # 3-step funnel twin: the same strict-after window semantics as
         # the interval-join oracle, chained; per-step distinct users.

@@ -347,6 +347,43 @@ def events_with_first_event(sf_dir: str, hot_threshold: int = 70) -> rd.Dataset:
                      hot_threshold=hot_threshold)
 
 
+def events_value_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Winsorized per-type aggregates: values clipped to their type's exact
+    [p05, p95] before summing — the outlier-robust aggregate curation
+    pipelines use instead of raw sums. Composition: one exact
+    histogram-refinement quantile pass (both bounds in ONE pass),
+    broadcast bounds, then a streaming clip + mergeable sum/count."""
+    import ray
+
+    from ..stages.relational import grouped_quantiles, to_arrow
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    qs = grouped_quantiles(events, "event_type", "value",
+                           qs=(0.05, 0.95), col_names=["p05", "p95"])
+    lo_ref = ray.put(dict(zip(qs["event_type"], qs["p05"])))
+    hi_ref = ray.put(dict(zip(qs["event_type"], qs["p95"])))
+
+    def clip(b: pd.DataFrame) -> pa.Table:
+        lo = b["event_type"].map(ray.get(lo_ref)).to_numpy(np.float64)
+        hi = b["event_type"].map(ray.get(hi_ref)).to_numpy(np.float64)
+        v = np.minimum(np.maximum(b["value"].to_numpy(np.float64), lo), hi)
+        return to_arrow(pd.DataFrame({"event_type": b["event_type"],
+                                      "value": v}))
+
+    agg = preagg_groupby(
+        events.map_batches(clip, batch_format="pandas"),
+        ["event_type"], {"n_events": ("value", "count"),
+                         "wsum": ("value", "sum")})
+    out = qs.merge(agg, on="event_type")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "p05": round_half_away(out["p05"].to_numpy(), 6),
+        "p95": round_half_away(out["p95"].to_numpy(), 6),
+        "n_events": out["n_events"].astype("int64"),
+        "winsorized_sum": round_half_away(out["wsum"].to_numpy(), 6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
 def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users grouped by their FIRST-activity week
     (the cohort), counted as retained in each later week they were active —

@@ -67,6 +67,7 @@ SQL_PAIRED = [
     "events_with_first_event", "docs_frequent_pairs",
     # round-4 (cont.): per-source KL domain-drift scoring, cohort retention
     "docs_source_kl", "events_cohort_retention", "events_funnel_3step",
+    "events_value_winsorized",
 ]
 
 
