@@ -48,7 +48,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ontonotes_5_parsing_ray.pipelines import queries as q
 
     return {
-        # relational operators (broadcast joins, pre-agg groupbys, top-k)
+        # ------------------------------------------------------------------
+        # ORDERING = VERIFICATION BUDGET (round 5). The driver checks the
+        # FIRST 50 keys at sf0.01; round 4 verified registry positions
+        # 1-50 (48 hash-MATCH + 2 principled no_oracle, 0 fail —
+        # CORRECTNESS_r04.json). This round the registry is rotated so the
+        # 50 entries WITHOUT an r4 driver row run first, in evidence-need
+        # order: (a) new round-5 queries, (b) never driver-checked,
+        # (c) r3-evidence-only, then (d) the r4-verified 50. Across
+        # rounds 4+5 every query therefore has fresh driver evidence.
+        # ------------------------------------------------------------------
+        # (a) new round-5 queries — inserted here as they land
+        # (b) never driver-checked (added mid-round-4, after the r3 run)
+        "docs_source_entropy": q.docs_source_entropy,
+        "docs_source_kl": q.docs_source_kl,
+        "docs_dup_clusters": q.docs_dup_clusters,
+        "docs_stratified_sample": q.docs_stratified_sample,
+        "docs_tfidf_top3": q.docs_tfidf_top3,
+        "docs_chunked": q.docs_chunked,
+        "docs_stopword_strip": q.docs_stopword_strip,
+        "docs_keyword_search": q.docs_keyword_search,
+        "docs_bm25_top10": q.docs_bm25_top10,
+        "events_value_quantiles": q.events_value_quantiles,
+        "events_user_rolling": q.events_user_rolling,
+        "events_user_gap": q.events_user_gap,
+        "events_rollup": q.events_rollup,
+        "events_pagerank": q.events_pagerank,
+        "events_view_then_purchase": q.events_view_then_purchase,
+        "events_user_ewma": q.events_user_ewma,
+        "events_user_range_sum": q.events_user_range_sum,
+        "emb_knn_graph": q.emb_knn_graph,
+        "emb_graph_triangles": q.emb_graph_triangles,
+        "emb_label_prop": q.emb_label_prop,
+        "media_features": kq.media_features,
+        "media_frames": kq.media_frames,
+        # (c) driver-checked in round 3 only (stale-but-present evidence)
+        "docs_bpe_tokens": q.docs_bpe_tokens,
+        "docs_clean_corpus": q.docs_clean_corpus,
+        "docs_source_quota": q.docs_source_quota,
+        "docs_simhash_dedup": q.docs_simhash_dedup,
+        "docs_training_mix": q.docs_training_mix,
+        "docs_sample_10pct": q.docs_sample_10pct,
+        "docs_streaming_dedup": q.docs_streaming_dedup,
+        "docs_top_terms": q.docs_top_terms,
+        "events_hopping": q.events_hopping,
+        "events_last_purchase": q.events_last_purchase,
+        "events_session_assignment": q.events_session_assignment,
+        "events_median_value": q.events_median_value,
+        "emb_knn_top10": q.emb_knn_top10,
+        "emb_knn_lsh": q.emb_knn_lsh,
+        "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
+        "emb_knn_ivf": q.emb_knn_ivf,
+        "emb_knn_multi": q.emb_knn_multi,
+        "emb_label_stats": q.emb_label_stats,
+        "emb_near_dup_pairs": q.emb_near_dup_pairs,
+        "transcript_ordering": q.transcript_ordering,
+        "kg_triples": kq.kg_triples,
+        "kg_nodes": kq.kg_nodes,
+        "kg_edges": kq.kg_edges,
+        "kg_mentions": kq.kg_mentions,
+        "kg_errors": kq.kg_errors,
+        "kg_annotations": kq.kg_annotations,
+        "kg_entity_freq": kq.kg_entity_freq,
+        "kg_tag_reduce": kq.kg_tag_reduce,
+        # (d) fully verified in round 4 (CORRECTNESS_r04: 48 MATCH
+        #     + events_hll_users_by_type / docs_cms_top_terms no_oracle)
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_orders": q.q3_top_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
@@ -62,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q.brand_revenue,
         "order_ship_day_coverage": q.order_ship_day_coverage,
         "q18_large_orders": q.q18_large_orders,
-        # event-stream windows
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
         "events_sessions_salted": q.events_sessions_salted,
@@ -70,17 +133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_top_type": q.events_user_top_type,
         "events_value_time_corr": q.events_value_time_corr,
         "events_unique_users_by_type": q.events_unique_users_by_type,
-        # approximate by construction (HLL sketch): rows-only check; the
-        # pytest gate bounds error vs the exact combine at < 5%
         "events_hll_users_by_type": q.events_hll_users_by_type,
-        # approximate by construction (CMS sketch): rows-only check; the
-        # pytest gate asserts exact-top-20 recovery + one-sided error
         "docs_cms_top_terms": q.docs_cms_top_terms,
         "events_user_pivot": q.events_user_pivot,
         "events_funnel_conversion": q.events_funnel_conversion,
         "events_purchaser_activity": q.events_purchaser_activity,
         "distinct_event_types": q.distinct_event_types,
-        # documents: text analysis + dedup family
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
         "docs_lang_counts": q.docs_lang_counts,
@@ -105,60 +163,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_3step": q.events_funnel_3step,
         "events_value_winsorized": q.events_value_winsorized,
         "events_with_first_event": q.events_with_first_event,
-        "docs_source_entropy": q.docs_source_entropy,
-        "docs_source_kl": q.docs_source_kl,
-        "docs_dup_clusters": q.docs_dup_clusters,
-        "docs_bpe_tokens": q.docs_bpe_tokens,
-        "docs_clean_corpus": q.docs_clean_corpus,
-        "docs_source_quota": q.docs_source_quota,
-        "docs_simhash_dedup": q.docs_simhash_dedup,
-        "docs_training_mix": q.docs_training_mix,
-        "docs_sample_10pct": q.docs_sample_10pct,
-        "docs_stratified_sample": q.docs_stratified_sample,
-        "docs_streaming_dedup": q.docs_streaming_dedup,
-        "docs_top_terms": q.docs_top_terms,
-        "docs_tfidf_top3": q.docs_tfidf_top3,
-        "docs_chunked": q.docs_chunked,
-        "docs_stopword_strip": q.docs_stopword_strip,
-        "docs_keyword_search": q.docs_keyword_search,
-        "docs_bm25_top10": q.docs_bm25_top10,
-        "events_hopping": q.events_hopping,
-        "events_last_purchase": q.events_last_purchase,
-        "events_session_assignment": q.events_session_assignment,
-        "events_median_value": q.events_median_value,
-        "events_value_quantiles": q.events_value_quantiles,
-        "events_user_rolling": q.events_user_rolling,
-        "events_user_gap": q.events_user_gap,
-        "events_rollup": q.events_rollup,
-        "events_pagerank": q.events_pagerank,
-        "events_view_then_purchase": q.events_view_then_purchase,
-        "events_user_ewma": q.events_user_ewma,
-        "events_user_range_sum": q.events_user_range_sum,
-        # embeddings: similarity search
-        "emb_knn_top10": q.emb_knn_top10,
-        "emb_knn_lsh": q.emb_knn_lsh,
-        "emb_knn_lsh_indexed": q.emb_knn_lsh_indexed,
-        "emb_knn_ivf": q.emb_knn_ivf,
-        "emb_knn_multi": q.emb_knn_multi,
-        "emb_knn_graph": q.emb_knn_graph,
-        "emb_graph_triangles": q.emb_graph_triangles,
-        "emb_label_prop": q.emb_label_prop,
-        "emb_label_stats": q.emb_label_stats,
-        "emb_near_dup_pairs": q.emb_near_dup_pairs,
-        # stable turn ordering (SQL-checkable)
-        "transcript_ordering": q.transcript_ordering,
-        # knowledge-graph pipeline (non-SQL; gated by pytest P/R vs oracle)
-        "kg_triples": kq.kg_triples,
-        "kg_nodes": kq.kg_nodes,
-        "kg_edges": kq.kg_edges,
-        "kg_mentions": kq.kg_mentions,
-        "kg_errors": kq.kg_errors,
-        "kg_annotations": kq.kg_annotations,
-        "kg_entity_freq": kq.kg_entity_freq,
-        "kg_tag_reduce": kq.kg_tag_reduce,
-        # multimodal plumbing (deterministic fake decode / resize / frames)
-        "media_features": kq.media_features,
-        "media_frames": kq.media_frames,
     }
 
 
