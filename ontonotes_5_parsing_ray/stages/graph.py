@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .relational import hash_join, preagg_groupby_ds, to_arrow
+from .relational import compact_blocks, hash_join, preagg_groupby_ds, to_arrow
 
 import logging
 
@@ -91,14 +91,19 @@ def pagerank(
         return (pd.DataFrame({"node": nodes, "rank": ranks.to_numpy()})
                 .reset_index(drop=True))
 
-    # join route: node table too big to broadcast
+    # join route: node table too big to broadcast. Node ids keep their
+    # ORIGINAL dtype end-to-end (int-keyed edge tables must match the
+    # inner join on src), and each round's rank state is re-seeded from
+    # the FULL node set (outdeg) — a node with out-edges but no in-edges
+    # receives no contributions, but must stay at base rank AND keep
+    # contributing in later rounds; keying the state off the contribution
+    # sums alone would drop it after round 1 (r4 ADVICE).
     edges_aug = hash_join(edges, outdeg, on=["src"]).materialize()
 
     def init_ranks(b: pd.DataFrame) -> pa.Table:
-        return pa.table({
-            "node": pa.array(b["src"].astype(str), pa.string()),
-            "rank": pa.array(np.full(len(b), 1.0 / n_nodes), pa.float64()),
-        })
+        out = b[["src"]].rename(columns={"src": "node"})
+        out["rank"] = np.full(len(b), 1.0 / n_nodes)
+        return to_arrow(out)
 
     ranks_ds = outdeg.map_batches(
         init_ranks, batch_format="pandas").materialize()
@@ -118,16 +123,20 @@ def pagerank(
             joined.map_batches(contribs_j, batch_format="pandas"),
             ["node"], {"c": ("c", "sum")},
         )
+        # left-join the contribution sums onto the full node set so every
+        # node survives the round; compact_blocks guards the ray-2.49
+        # empty-first-block join schema bug on the bounded summed side
+        full = hash_join(outdeg, compact_blocks(summed),
+                         join_type="left_outer",
+                         on=["src"], right_on=["node"])
 
         def finish(b: pd.DataFrame) -> pa.Table:
-            return pa.table({
-                "node": pa.array(b["node"].astype(str), pa.string()),
-                "rank": pa.array(
-                    base + damping * b["c"].to_numpy(np.float64),
-                    pa.float64()),
-            })
+            c = np.nan_to_num(b["c"].to_numpy(np.float64), nan=0.0)
+            out = b[["src"]].rename(columns={"src": "node"})
+            out["rank"] = base + damping * c
+            return to_arrow(out)
 
-        ranks_ds = summed.map_batches(
+        ranks_ds = full.map_batches(
             finish, batch_format="pandas").materialize()
     return ranks_ds
 

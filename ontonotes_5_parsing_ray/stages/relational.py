@@ -1301,13 +1301,17 @@ def interval_join(
         def prep(b: pd.DataFrame) -> pa.Table:
             t = b[time_col].to_numpy(np.int64)
             # fail-stop: the join kernel packs (group_id << 32 | t) into
-            # one uint64 — microsecond epochs (or negatives) would corrupt
-            # the packing SILENTLY, so reject them loudly here
-            if len(t) and (t.min() < 0 or t.max() >= (1 << 32)):
+            # one uint64 and PROBES with t + window — microsecond epochs,
+            # negatives, or t within `window` of 2^32 would carry into the
+            # group-id bits and match unrelated groups SILENTLY, so reject
+            # the whole headroom loudly here (r4 ADVICE)
+            if len(t) and (t.min() < 0
+                           or int(t.max()) + window >= (1 << 32)):
                 raise ValueError(
                     f"interval_join time_col '{time_col}' must be a "
-                    "non-negative integer < 2^32 (epoch SECONDS, not "
-                    "micro/milliseconds — floor first)")
+                    f"non-negative integer with max + window < 2^32 "
+                    "(epoch SECONDS, not micro/milliseconds — floor "
+                    "first)")
             sides = (np.full(len(b), 0 if is_left else 1, dtype=np.int8)
                      if is_left is not None
                      else b[side_col].to_numpy(np.int8))
@@ -1666,6 +1670,26 @@ def skew_join(
     def project(b: pd.DataFrame) -> pa.Table:
         return to_arrow(b[out_cols])
 
+    def typed_empty() -> rd.Dataset:
+        # degenerate empty result: keep the INPUT column types (r4 ADVICE —
+        # a pa.null()-typed empty breaks downstream unions / typed reads).
+        # Pandas-block inputs report numpy dtypes (object == string here);
+        # normalize everything to arrow types.
+        def arrow_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()
+
+        types: dict = {}
+        for src in (right, left):   # key column: left wins
+            sch = src.schema()
+            types.update(zip(sch.names, (arrow_type(t) for t in sch.types)))
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], types.get(c, pa.null())) for c in out_cols}))
+
     # both cold sides compact before the native join: the hot/cold filter
     # empties whole blocks wherever hot rows cluster, and ray 2.49's
     # hash-shuffle join builds schema-less aggregator tables when a side's
@@ -1682,13 +1706,7 @@ def skew_join(
                          num_partitions=num_partitions) \
             .map_batches(project, batch_format="pandas")
     if not hot:
-        if cold is not None:
-            return cold
-        # inner join with an empty side: typed-empty via the surviving
-        # side's key/value columns plus null right columns is overkill for
-        # a degenerate corner — emit a null-typed empty table
-        return rd.from_arrow(pa.table(
-            {c: pa.array([], pa.null()) for c in out_cols}))
+        return cold if cold is not None else typed_empty()
 
     right_hot = (right.map_batches(side(True), batch_format="pandas")
                  .to_pandas())
@@ -1696,10 +1714,7 @@ def skew_join(
         # hot LEFT keys with no right rows contribute nothing to an inner
         # join — and an empty Dataset loses its schema through to_pandas,
         # so the merge below would KeyError on the missing columns
-        if cold is not None:
-            return cold
-        return rd.from_arrow(pa.table(
-            {c: pa.array([], pa.null()) for c in out_cols}))
+        return cold if cold is not None else typed_empty()
     right_ref = ray.put(right_hot[right_cols])
 
     def join_hot(b: pd.DataFrame) -> pa.Table:

@@ -79,6 +79,22 @@ def index_size(shards) -> int:
     return sum(ray.get([s.size.remote() for s in shards]))
 
 
+def _batch_token(pass_nonce: bytes, hashes: np.ndarray,
+                 batch: pd.DataFrame, text_col: str) -> int:
+    """Claim token for one batch: retry-stable (a Ray re-execution of the
+    same block presents identical bytes) but DISTINCT for distinct batches
+    even when their texts are byte-identical — the non-text columns (doc
+    ids) are folded in, so two aligned blocks of a boilerplate-heavy corpus
+    cannot replay each other's token and double-admit (r4 ADVICE)."""
+    extra = b""
+    for c in batch.columns:
+        if c != text_col:
+            extra += hash64_vec(batch[c]).tobytes()
+    return int.from_bytes(
+        hashlib.blake2b(pass_nonce + extra + hashes.tobytes(),
+                        digest_size=8).digest(), "little")
+
+
 def streaming_exact_dedup(
     ds: rd.Dataset,
     shards,
@@ -88,9 +104,10 @@ def streaming_exact_dedup(
     them as a side effect. Each batch makes one ``claim`` RPC per shard it
     touches (unique hashes only); the mask is reassembled positionally.
 
-    Retry safety: the claim token is ``hash(pass nonce, batch hashes)`` —
-    stable when Ray re-executes the same block within this call, unique
-    across calls — so a retried task re-admits exactly its own documents.
+    Retry safety: the claim token is ``hash(pass nonce, batch id columns,
+    batch hashes)`` — stable when Ray re-executes the same block within
+    this call, unique across calls AND across same-text batches — so a
+    retried task re-admits exactly its own documents and nothing else.
     The result is materialized before returning: consuming it twice replays
     cached blocks rather than re-probing the (already mutated) index."""
     num_shards = len(shards)
@@ -103,9 +120,7 @@ def streaming_exact_dedup(
         # in-batch duplicates: only each hash's FIRST occurrence is a
         # candidate (unique hashes ship; replayed tokens can't double-admit)
         uniq, first_idx = np.unique(hashes, return_index=True)
-        token = int.from_bytes(
-            hashlib.blake2b(pass_nonce + hashes.tobytes(),
-                            digest_size=8).digest(), "little")
+        token = _batch_token(pass_nonce, hashes, batch, text_col)
         shard_of = (uniq % np.uint64(num_shards)).astype(np.int64)
         keep = np.zeros(len(batch), dtype=bool)
         futures: List[Tuple[np.ndarray, "ray.ObjectRef"]] = []

@@ -920,6 +920,47 @@ def test_pagerank_routes_match_numpy(ray_session):
     assert abs(bc.sum() - 1.0) < 1e-9   # rank mass conserved
 
 
+def test_pagerank_join_route_directed_int_keys(ray_session):
+    """r4-ADVICE regression: on a DIRECTED graph with INT node ids where
+    some nodes have out-edges but no in-edges, the join route must (a)
+    keep those nodes in the output at base rank, (b) keep their outgoing
+    contributions flowing in every round, and (c) join on the original
+    dtype — matching the broadcast route and a numpy power iteration."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.graph import pagerank
+
+    # nodes 3 and 4 are pure sources (no in-edges); every node is a src
+    epdf = pd.DataFrame({
+        "src": [1, 2, 3, 3, 4, 5, 1],
+        "dst": [2, 1, 1, 2, 5, 1, 5],
+        "w":   [1.0, 2.0, 1.0, 1.0, 3.0, 1.0, 1.0],
+    })
+    edges = rd.from_arrow(pa.Table.from_pandas(epdf, preserve_index=False))
+
+    deg = epdf.groupby("src")["w"].sum()
+    nodes = sorted(deg.index)
+    n = len(nodes)
+    r = pd.Series(1.0 / n, index=nodes)
+    for _ in range(5):
+        c = (r[epdf["src"]].to_numpy() * epdf["w"].to_numpy()
+             / deg[epdf["src"]].to_numpy())
+        s = pd.Series(c).groupby(epdf["dst"].to_numpy()).sum()
+        r = 0.15 / n + 0.85 * s.reindex(nodes).fillna(0.0)
+
+    bc = pagerank(edges).set_index("node")["rank"].sort_index()
+    jn = pagerank(edges, broadcast_limit=0).to_pandas() \
+        .set_index("node")["rank"].sort_index()
+    assert list(jn.index) == nodes               # 3 and 4 present, int dtype
+    assert jn.index.dtype.kind == "i"
+    assert np.abs(bc - r.sort_index()).max() < 1e-12
+    assert np.abs(jn - r.sort_index()).max() < 1e-12
+    assert abs(jn[3] - 0.15 / n) < 1e-12         # pure source at base rank
+
+
 def test_triangle_counts_matches_bruteforce(ray_session):
     """triangle_counts == brute-force triangle enumeration on a random
     graph fed as DIRECTED, DUPLICATED edges (canonicalization must
@@ -1121,6 +1162,17 @@ def test_triangle_max_degree_cap_and_interval_time_guard(ray_session):
         interval_join(bad, bad, key_col="user_id", time_col="ep",
                       window=1800).count()
 
+    # r4-ADVICE: t < 2^32 but t + window >= 2^32 would carry the probe
+    # into the group-id bits and match unrelated groups — must fail-stop
+    edge = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ep": pa.array([(1 << 32) - 100, (1 << 32) - 50], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="2\\^32|epoch SECONDS"):
+        interval_join(edge, edge, key_col="user_id", time_col="ep",
+                      window=1800).count()
+
 
 def test_bloom_semi_join_superset_and_composition(ray_session):
     """bloom_semi_join output is a SUPERSET of the exact semi join
@@ -1301,3 +1353,53 @@ def test_skew_join_hot_keys_without_right_rows(ray_session):
                     on="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
                     hot_threshold=1000).to_pandas()
     assert set(out["k"]) == {2} and len(out) == 50
+
+
+def test_skew_join_empty_result_keeps_input_types(ray_session):
+    """r4-ADVICE: the degenerate empty-result paths must emit TYPED empty
+    tables (input schemas), not pa.null() columns — so a later union with
+    typed output or a typed map_batches still works."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import skew_join
+
+    left = pd.DataFrame({"k": np.array([1, 1, 2], dtype=np.int64),
+                         "lv": np.array(["a", "b", "c"], dtype=object)})
+    right_empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "rv": pa.array([], pa.float64()),
+    }))
+    # no hot keys AND an empty right side -> the `not hot` typed-empty path
+    out = skew_join(rd.from_pandas(left), right_empty,
+                    on="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+                    hot_threshold=1000)
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert sch["k"] == pa.int64()
+    assert sch["lv"] == pa.string()
+    assert sch["rv"] == pa.float64()
+    assert out.count() == 0
+    # a typed union over the empty result must not raise
+    typed = rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int64()),
+        "lv": pa.array(["z"], pa.string()),
+        "rv": pa.array([0.25], pa.float64()),
+    }))
+    assert out.union(typed).to_pandas().shape == (1, 3)
+
+    # hot left key, right side entirely cold-filtered away AND cold join
+    # empty -> the empty-hot-right path; same typed contract
+    left2 = pd.DataFrame({"k": np.repeat(np.int64(7), 5000),
+                          "lv": np.arange(5000).astype(str)})
+    right2 = pd.DataFrame({"k": np.array([8], dtype=np.int64),
+                           "rv": np.array([2.5], dtype=np.float64)})
+    out2 = skew_join(rd.from_pandas(left2).repartition(4),
+                     rd.from_pandas(right2),
+                     on="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+                     hot_threshold=1000)
+    sch2 = dict(zip(out2.schema().names, out2.schema().types))
+    assert sch2 == {"k": pa.int64(), "lv": pa.string(),
+                    "rv": pa.float64()}
+    assert out2.count() == 0

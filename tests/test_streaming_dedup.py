@@ -78,3 +78,52 @@ def test_streaming_dedup_double_consumption_and_retry_idempotence(ray_session):
     assert mask_retry == [True, True, True]
     # a DIFFERENT pass (new token) over the same hashes admits nothing
     assert ray.get(shard.claim.remote([1, 2, 3], 78)) == [False] * 3
+
+
+def test_batch_token_distinguishes_identical_text_batches(ray_session):
+    """r4-ADVICE: two byte-identical TEXT batches within one pass (aligned
+    blocks of a boilerplate-heavy corpus) must get DISTINCT claim tokens —
+    their doc ids differ — while a retry of the SAME batch reproduces its
+    token exactly."""
+    import numpy as np
+
+    from ontonotes_5_parsing_ray.functions.hashing import hash64_vec
+    from ontonotes_5_parsing_ray.state.dedup_index import _batch_token
+
+    nonce = b"\x01" * 16
+    texts = [f"shared boilerplate {i}" for i in range(64)]
+    b1 = pd.DataFrame({"doc_id": np.arange(64, dtype=np.int64),
+                       "text": texts})
+    b2 = pd.DataFrame({"doc_id": np.arange(64, 128, dtype=np.int64),
+                       "text": texts})
+    h = hash64_vec(b1["text"]) & np.uint64((1 << 62) - 1)
+    t1 = _batch_token(nonce, h, b1, "text")
+    t2 = _batch_token(nonce, h, b2, "text")
+    t1_retry = _batch_token(nonce, h, b1.copy(), "text")
+    assert t1 != t2           # same texts, different batches -> different
+    assert t1 == t1_retry     # a replayed block reproduces its own token
+
+
+def test_streaming_dedup_identical_text_blocks_admit_once(ray_session):
+    """End-to-end: a corpus whose blocks carry byte-identical text runs
+    (distinct doc ids) admits each distinct text exactly once."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.state.dedup_index import (
+        create_index,
+        index_size,
+        streaming_exact_dedup,
+    )
+
+    texts = [f"boilerplate block row {i}" for i in range(1500)]
+    t1 = pa.table({"doc_id": pa.array(np.arange(1500)), 
+                   "text": pa.array(texts)})
+    t2 = pa.table({"doc_id": pa.array(np.arange(1500, 3000)),
+                   "text": pa.array(texts)})
+    ds = rd.from_arrow([t1, t2])
+    shards = create_index(4)
+    kept = streaming_exact_dedup(ds, shards).to_pandas()
+    assert len(kept) == 1500
+    assert kept["text"].nunique() == 1500
+    assert index_size(shards) == 1500
