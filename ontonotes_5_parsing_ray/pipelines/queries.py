@@ -62,6 +62,15 @@ def _read_split(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return _read(sf_dir, table, columns).repartition(pool_size(32, reserve=2))
 
 
+def _table_row_count(sf_dir: str, table: str) -> int:
+    """Row count from parquet FILE metadata — no data read, no execution.
+    Used as the cheap routing signal for broadcast-vs-join decisions."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def _read_pdf(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -103,13 +112,24 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+def q3_top_orders(sf_dir: str,
+                  broadcast_key_limit: int = 5_000_000) -> pd.DataFrame:
     """Revenue of BUILDING-segment orders. Only the true dimension (customer)
     is driver-resident: its BUILDING key set is broadcast to semi-join the
-    orders STREAM; orders ⋈ lineitem is a distributed :func:`hash_join`
-    (both facts stay in the cluster); the high-cardinality per-order
-    aggregate combines distributively and only ``blocks x 10`` partial
-    top-k rows ever reach the driver."""
+    orders STREAM. The qualifying orderkey set then auto-routes by the
+    ORDERS row count (parquet metadata, nothing executes): below
+    ``broadcast_key_limit`` it is collected once, ``ray.put``, and
+    lineitem filters map-side (zero join shuffles); above, orders ⋈
+    lineitem stays a distributed :func:`hash_join` (both facts in the
+    cluster). Either way the per-order revenue sum is the one-shuffle
+    ``partition_map_groups`` plan — orderkeys are O(rows), so map-side
+    pre-agg shrinks only ~the lineitem fan-out and its combine re-shuffles
+    nearly everything (the documented high-cardinality anti-pattern) —
+    with the top-10 cut INSIDE the kernel: only ``partitions x 10`` rows
+    ever reach the driver."""
+    import ray
+
+    from ..stages.relational import partition_map_groups, to_arrow
     cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -119,27 +139,44 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     )
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = hash_join(li, orders_f, on=["l_orderkey"])
 
-    def revenue_col(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
-        return batch[["l_orderkey", "revenue"]]
+    if _table_row_count(sf_dir, "orders") <= broadcast_key_limit:
+        keys_ref = ray.put(
+            set(orders_f.to_pandas()["l_orderkey"].tolist()))
 
-    agg = preagg_groupby_ds(
+        def filter_and_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["l_orderkey"].isin(ray.get(keys_ref))].copy()
+            b["revenue"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
+            return b[["l_orderkey", "revenue"]]
+
+        joined = li.map_batches(filter_and_revenue, batch_format="pandas")
+
+        def revenue_col(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch  # revenue already attached map-side
+    else:
+        joined = hash_join(li, orders_f, on=["l_orderkey"])
+
+        def revenue_col(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["revenue"] = (batch["l_extendedprice"]
+                                * (1.0 - batch["l_discount"]))
+            return batch[["l_orderkey", "revenue"]]
+
+    def sum_round_top(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        s["revenue"] = round_half_away(s["revenue"].to_numpy(), 2)
+        return to_arrow(
+            s.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+            .head(10))
+
+    partials = partition_map_groups(
         joined.map_batches(revenue_col, batch_format="pandas"),
-        ["l_orderkey"], {"revenue": ("revenue", "sum")},
-    )
-
-    def rounded(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["revenue"] = round_half_away(batch["revenue"].to_numpy(), 2)
-        return batch
-
-    return distributed_topk(
-        agg.map_batches(rounded, batch_format="pandas"),
-        ["revenue", "l_orderkey"], [False, True], 10,
-    )[["l_orderkey", "revenue"]]
+        "l_orderkey", sum_round_top,
+    ).to_pandas()   # <= partitions x 10 rows
+    return (partials.sort_values(["revenue", "l_orderkey"],
+                                 ascending=[False, True], kind="mergesort")
+            .head(10).reset_index(drop=True)[["l_orderkey", "revenue"]])
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
