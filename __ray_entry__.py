@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rounds 4+5 every query therefore has fresh driver evidence.
         # ------------------------------------------------------------------
         # (a) new round-5 queries — inserted here as they land
+        "events_user_quantiles": q.events_user_quantiles,
         # (b) never driver-checked (added mid-round-4, after the r3 run)
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -1399,6 +1400,15 @@ def oracle_sql() -> dict[str, str]:
                    round(median(value), 6) AS median_value
             FROM events GROUP BY event_type
             ORDER BY event_type
+        """,
+        # Dataset-returning per-user quantiles (grouped_quantiles_ds — the
+        # result itself is O(keys) and never lands on the driver).
+        "events_user_quantiles": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY user_id
+            ORDER BY user_id
         """,
         # Generalized exact quantiles (same histogram-refinement machinery,
         # all five ranks in one candidate pass on the Ray side).

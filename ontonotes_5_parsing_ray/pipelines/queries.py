@@ -656,6 +656,29 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_user_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-USER exact interpolated quantiles via the Dataset-returning
+    surface (`relational.grouped_quantiles_ds`): user ids are O(rows) at
+    cluster scale and so is the RESULT — it must never land on the driver,
+    so the query stays a streaming Dataset end to end (rounding rides a
+    final map_batches). Same SQL-standard interpolation arithmetic as
+    `events_value_quantiles`; DuckDB quantile_cont() is the oracle."""
+    from ..stages.relational import grouped_quantiles_ds, to_arrow
+
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    names = ["p50", "p90"]
+    out = grouped_quantiles_ds(events, "user_id", "value",
+                               qs=(0.5, 0.9), col_names=names)
+
+    def rounded(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        for c in names:
+            b[c] = round_half_away(b[c].to_numpy(), 6)
+        return to_arrow(b)
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
 def events_user_rolling(sf_dir: str) -> rd.Dataset:
     """Per-user rolling 5-event mean of value over the (ts, event_id)
     ordered stream — the ROWS-window aggregate, via one user-hash shuffle

@@ -12,7 +12,7 @@ key — never materialized to the driver).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
@@ -563,6 +563,44 @@ def _hash_canon(col: pd.Series) -> np.ndarray:
     return arr
 
 
+def grouped_quantiles_ds(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5,),
+    col_names: Optional[Sequence[str]] = None,
+    n_buckets: int = 2048,
+    num_partitions: int = 64,
+    big_key_limit: int = 2_000_000,
+    driver_limit: int = 500_000,
+) -> rd.Dataset:
+    """Dataset-returning :func:`grouped_quantiles`: identical arithmetic
+    (SQL-standard interpolation, same big-key histogram offload), but the
+    per-key result STAYS a Dataset — the surface a 10^8-key grouped
+    quantile needs at cluster scale, where even the answer is too big for
+    the driver. Always takes the one-shuffle distributed route (the
+    driver-histogram route exists to keep hot keys off a partition, not to
+    shrink the result); consume with ``write_parquet`` / ``iter_batches``.
+    Output: ``(key_col, *col_names)``, unsorted."""
+    qs = [float(q) for q in qs]
+    if col_names is None:
+        col_names = ["q" + format(q, "g").replace(".", "_") for q in qs]
+    col_names = list(col_names)
+    assert len(col_names) == len(qs)
+    aggs = {
+        "n": (value_col, "count"),
+        "mn": (value_col, "min"),
+        "mx": (value_col, "max"),
+    }
+    parts = _partials_ds(
+        ds.select_columns([key_col, value_col]), [key_col], aggs
+    ).materialize()
+    return _grouped_quantiles_distributed(
+        ds, key_col, value_col, qs, col_names, n_buckets, parts,
+        num_partitions=num_partitions, big_key_limit=big_key_limit,
+        driver_limit=driver_limit, as_dataset=True)
+
+
 def _grouped_quantiles_distributed(
     ds: rd.Dataset,
     key_col: str,
@@ -574,7 +612,8 @@ def _grouped_quantiles_distributed(
     num_partitions: int = 64,
     big_key_limit: int = 2_000_000,
     driver_limit: int = 500_000,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> Union[pd.DataFrame, rd.Dataset]:
     """High-cardinality branch of :func:`grouped_quantiles`: NO per-key
     driver control state. Rows take ONE key-hash shuffle (the repo's
     established ``hash(key) % P -> map_groups`` pattern) and each
@@ -661,12 +700,19 @@ def _grouped_quantiles_distributed(
             out[cname] = pa.array(res, pa.float64())
         return pa.table(out)
 
-    med = (
+    med_ds = (
         data.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_quantiles, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        # cluster-scale surface: the per-key result never lands on the
+        # driver — consume with write_parquet / iter_batches
+        if big_out is not None and len(big_out):
+            med_ds = med_ds.union(
+                rd.from_arrow(to_arrow(big_out[[key_col] + col_names])))
+        return med_ds
+    med = med_ds.to_pandas()
     if big_out is not None and len(big_out):
         med = pd.concat([med, big_out], ignore_index=True)
     return med.sort_values(key_col).reset_index(drop=True)

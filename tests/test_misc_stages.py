@@ -1403,3 +1403,39 @@ def test_skew_join_empty_result_keeps_input_types(ray_session):
     assert sch2 == {"k": pa.int64(), "lv": pa.string(),
                     "rv": pa.float64()}
     assert out2.count() == 0
+
+
+def test_grouped_quantiles_ds_matches_pandas_variant(ray_session):
+    """grouped_quantiles_ds (Dataset-returning, r4-VERDICT API surface) ==
+    grouped_quantiles, including when a big key is forced through the
+    driver-histogram offload inside the distributed route."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import (
+        grouped_quantiles,
+        grouped_quantiles_ds,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 40_000
+    df = pd.DataFrame({
+        "k": np.r_[np.zeros(20_000, dtype=np.int64),       # hot key 0
+                   rng.randint(1, 400, 20_000)],
+        "v": rng.randn(n) * 10,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    want = grouped_quantiles(ds, "k", "v", qs=(0.25, 0.5, 0.9),
+                             col_names=["a", "b", "c"],
+                             key_driver_limit=0)  # force distributed route
+    got_ds = grouped_quantiles_ds(ds, "k", "v", qs=(0.25, 0.5, 0.9),
+                                  col_names=["a", "b", "c"],
+                                  big_key_limit=5_000)  # key 0 offloads
+    assert isinstance(got_ds, rd.Dataset)
+    got = got_ds.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("k").reset_index(drop=True),
+        check_exact=False, rtol=0, atol=1e-12)
