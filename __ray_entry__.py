@@ -112,8 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotations": kq.kg_annotations,
         "kg_entity_freq": kq.kg_entity_freq,
         "kg_tag_reduce": kq.kg_tag_reduce,
-        # (d) fully verified in round 4 (CORRECTNESS_r04: 48 MATCH
-        #     + events_hll_users_by_type / docs_cms_top_terms no_oracle)
+        # (d) fully verified in round 4 (CORRECTNESS_r04: 48 MATCH +
+        #     events_hll_users_by_type / docs_cms_top_terms no_oracle;
+        #     the HLL entry gained a full md5-register SQL twin in round 5)
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_orders": q.q3_top_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
@@ -988,6 +989,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # HLL twin: the md5-based register construction replayed exactly in
+        # SQL — md5_number_upper == little-endian first 8 md5 bytes, register
+        # index = top 12 bits, rank = 53 - bit_length(low 52 bits) via
+        # length(bin(x)), elementwise-max registers, alpha*m^2/sum(2^-reg)
+        # with the linear-counting small-range correction. The APPROXIMATE
+        # estimate itself hash-matches (it is deterministic given the data).
+        "events_hll_users_by_type": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (SELECT event_type,
+                         md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+                  FROM d),
+            r AS (SELECT event_type, (h >> 52) AS idx,
+                         CASE WHEN (h % 4503599627370496::UBIGINT)
+                                   = 0::UBIGINT THEN 53
+                              ELSE 53 - length(bin(
+                                   h % 4503599627370496::UBIGINT)) END
+                             AS rank
+                  FROM h),
+            regs AS (SELECT event_type, idx, max(rank) AS reg
+                     FROM r GROUP BY event_type, idx),
+            agg AS (SELECT event_type,
+                           sum(pow(2.0, -reg)) + (4096 - count(*)) AS denom,
+                           4096 - count(*) AS zeros
+                    FROM regs GROUP BY event_type)
+            SELECT event_type,
+                   CAST(round(CASE WHEN ((0.7213/(1.0+1.079/4096))
+                                         *4096*4096/denom) <= 2.5*4096
+                                        AND zeros > 0
+                                   THEN 4096 * ln(4096.0 / zeros)
+                                   ELSE (0.7213/(1.0+1.079/4096))
+                                        *4096*4096/denom END) AS BIGINT)
+                       AS n_users_approx
+            FROM agg ORDER BY event_type
         """,
         # Bloom-prefilter composition twin: plain IN — the bloom stage is
         # a superset prefilter whose exact verify restores IN semantics.

@@ -32,13 +32,33 @@ def hll_new() -> np.ndarray:
     return np.zeros(HLL_M, dtype=np.uint8)
 
 
+def hll_hashes_md5(values) -> np.ndarray:
+    """64-bit md5 value hashes (uint64) for an HLL fold that has an EXACT
+    SQL twin: ``md5_number_upper(CAST(v AS VARCHAR))`` in DuckDB equals
+    ``token_hash64_md5(str(v))``. Dedupe first — duplicates can't change
+    registers, and the md5 loop is per-DISTINCT-value."""
+    from .hashing import token_hash64_md5
+
+    uniq = np.unique(np.asarray(values))
+    return np.fromiter((token_hash64_md5(str(v)) for v in uniq),
+                       dtype=np.uint64, count=len(uniq))
+
+
 def hll_add(registers: np.ndarray, values) -> np.ndarray:
     """Fold a batch of values into ``registers`` in place (vectorized):
     register index = top P hash bits, rank = leading-zero count of the
     remaining 64-P bits + 1."""
     if len(values) == 0:
         return registers
-    h = hash64_vec(values)
+    return hll_add_hashes(registers, hash64_vec(values))
+
+
+def hll_add_hashes(registers: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Fold precomputed uint64 value hashes into ``registers`` in place —
+    the hash-agnostic core of :func:`hll_add` (siphash default; pass
+    :func:`hll_hashes_md5` output when the sketch must be SQL-replayable)."""
+    if len(h) == 0:
+        return registers
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = h << np.uint64(HLL_P)  # low 64-P bits shifted to the top
     # rank = position of the first 1-bit in `rest` (1-based), capped

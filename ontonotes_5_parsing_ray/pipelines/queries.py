@@ -1112,10 +1112,19 @@ def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     the 100 TB path: each batch folds its users into a 4 KB register
     array per event type (`functions.sketches`), partials merge by
     elementwise max (idempotent under re-execution), so the combine moves
-    KILOBYTES per group instead of every distinct value. No SQL twin by
-    construction (approximate); the pytest gate bounds the error vs the
-    exact two-level combine at < 5%."""
-    from ..functions.sketches import HLL_M, hll_add, hll_estimate, hll_new
+    KILOBYTES per group instead of every distinct value. The value hash
+    is md5-based (`hll_hashes_md5`), so the register array — and therefore
+    the estimate, approximation and all — has an EXACT DuckDB twin
+    (md5_number_upper + bin()-length leading-zero rank); the pytest gate
+    additionally bounds the error vs the exact two-level combine at
+    < 5%."""
+    from ..functions.sketches import (
+        HLL_M,
+        hll_add_hashes,
+        hll_estimate,
+        hll_hashes_md5,
+        hll_new,
+    )
     from ..stages.relational import to_arrow
 
     events = _read(sf_dir, "events", columns=["user_id", "event_type"])
@@ -1123,7 +1132,8 @@ def events_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     def sketch_partials(b: pd.DataFrame) -> pa.Table:
         rows = []
         for et, g in b.groupby("event_type", sort=False):
-            regs = hll_add(hll_new(), g["user_id"].to_numpy())
+            regs = hll_add_hashes(
+                hll_new(), hll_hashes_md5(g["user_id"].to_numpy()))
             rows.append((et, regs.tobytes()))
         return pa.table({
             "event_type": pa.array([r[0] for r in rows], pa.string()),
