@@ -168,6 +168,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _knn_lsh_sql() -> str:
+    """EXACT SQL twin of the LSH-bucketed kNN (emb_knn_lsh /
+    emb_knn_lsh_indexed): the seed-fixed hyperplane constants are embedded
+    and the probe-set semantics replayed — bucket = per-plane dot signs,
+    candidates = the query's bucket plus its single-bit flips at plane
+    positions 0..3 (the multiprobe=3 loop admits exactly those four), then
+    the same exact rounded-cosine rerank as the brute-force twin. Works
+    because the whole path computes in float64 (stages/ann.py)."""
+    from ontonotes_5_parsing_ray.stages.ann import HyperplaneBuckets
+
+    planes = HyperplaneBuckets(64, n_planes=6, seed=7).planes
+    vals = ",".join(
+        f"({p}, [{','.join(repr(x) for x in planes[p])}]::DOUBLE[])"
+        for p in range(6))
+    return f"""
+        WITH planes(p, w) AS (VALUES {vals}),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        sv AS (SELECT v.vec_id, p.p,
+                      CASE WHEN list_inner_product(v.e, p.w) >= 0
+                           THEN 1 ELSE 0 END AS s,
+                      CASE WHEN list_inner_product(q.qe, p.w) >= 0
+                           THEN 1 ELSE 0 END AS qs
+               FROM v, planes p, q),
+        d AS (SELECT vec_id,
+                     sum(CASE WHEN s != qs THEN 1 ELSE 0 END) AS nd,
+                     sum(CASE WHEN s != qs AND p >= 4
+                              THEN 1 ELSE 0 END) AS nd_high
+              FROM sv GROUP BY vec_id),
+        cand AS (SELECT vec_id FROM d
+                 WHERE nd = 0 OR (nd = 1 AND nd_high = 0))
+        SELECT v.vec_id,
+               round(list_cosine_similarity(v.e, q.qe), 6) AS cosine
+        FROM v JOIN cand USING (vec_id), q
+        ORDER BY cosine DESC, v.vec_id LIMIT 10
+    """
+
+
 def _minhash_pairs_sql(threshold: float = 0.35, num_perm: int = 64,
                        bands: int = 16) -> str:
     """EXACT SQL twin of the MinHash near-dup operator, generated with the
@@ -1127,6 +1165,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
         """,
+        # LSH kNN twins: generated SQL with the hyperplane constants
+        # embedded (_knn_lsh_sql) — scan path and partitioned-index path
+        # return identical rows by construction, so they share the twin.
+        "emb_knn_lsh": _knn_lsh_sql(),
+        "emb_knn_lsh_indexed": _knn_lsh_sql(),
         # All-pairs kNN-graph twin: row_number window over the full cosine
         # cross product, identical (cosine desc, dst_id asc) tie rule.
         "emb_knn_graph": """

@@ -2092,7 +2092,7 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}-f64"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
         # per-process scratch: concurrent builders (parallel bench/test
         # runs on one sf tag) cannot rmtree each other's in-progress build

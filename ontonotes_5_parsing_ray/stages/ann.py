@@ -202,14 +202,17 @@ class HyperplaneBuckets:
     """Actor-pool stage: embedding -> LSH bucket key (seed-fixed planes)."""
 
     def __init__(self, dim: int, n_planes: int = 10, seed: int = 7):
-        self.planes = np.random.RandomState(seed).randn(n_planes, dim).astype(np.float32)
+        # float64 end-to-end: the plane dots (and therefore the bucket
+        # keys) are then exactly reproducible by a SQL twin summing the
+        # same constants in DOUBLE (float32 matmul order diverges too far)
+        self.planes = np.random.RandomState(seed).randn(n_planes, dim)
 
     def key_of(self, vecs: np.ndarray) -> List[str]:
-        signs = (vecs @ self.planes.T) >= 0
+        signs = (np.asarray(vecs, dtype=np.float64) @ self.planes.T) >= 0
         return ["".join("1" if b else "0" for b in row) for row in signs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         return batch.append_column(
             "bucket", pa.array(self.key_of(vecs), pa.string())
         )
@@ -229,7 +232,7 @@ def knn_lsh(
     At cluster scale the bucket column is precomputed once and the corpus is
     written partitioned by bucket, so a query touches only its partitions.
     """
-    query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    query = np.asarray(query, dtype=np.float64).reshape(1, -1)
     dim = query.shape[1]
     bucketer = HyperplaneBuckets(dim, n_planes, seed)
     q_key = bucketer.key_of(_unit(query))[0]
@@ -246,7 +249,7 @@ def knn_lsh(
     def prune_and_score(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
         qv = ray.get(q_ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         bucket = bucketer.key_of(vecs)
         mask = np.array([b in keys for b in bucket])
         if not mask.any():
@@ -256,7 +259,7 @@ def knn_lsh(
             })
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)[mask]
         # round before truncation: see partial_topk
-        cos = round_half_away((_unit(vecs[mask]) @ qv.T).ravel().astype(np.float64), 6)
+        cos = round_half_away((_unit(vecs[mask]) @ qv.T).ravel(), 6)
         order = np.lexsort((ids, -cos))[:k]
         return pa.table({
             "vec_id": pa.array(ids[order], pa.int64()),
@@ -324,7 +327,7 @@ def knn_lsh_indexed(
     with open(os.path.join(index_dir, "_META")) as fh:
         meta = _json.load(fh)
     n_planes, seed = meta["n_planes"], meta["seed"]
-    query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    query = np.asarray(query, dtype=np.float64).reshape(1, -1)
     bucketer = HyperplaneBuckets(query.shape[1], n_planes, seed)
     q_key = bucketer.key_of(_unit(query))[0]
     probe_keys = {q_key}
@@ -350,9 +353,9 @@ def knn_lsh_indexed(
 
     def score(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         cos = round_half_away(
-            (_unit(vecs) @ ray.get(q_ref).T).ravel().astype(np.float64), 6)
+            (_unit(vecs) @ ray.get(q_ref).T).ravel(), 6)
         order = np.lexsort((ids, -cos))[:k]
         return pa.table({
             "vec_id": pa.array(ids[order], pa.int64()),
