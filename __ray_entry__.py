@@ -168,6 +168,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _knn_ivf_sql(n_clusters: int = 16, n_iter: int = 5, n_probe: int = 4,
+                 dim: int = 64) -> str:
+    """EXACT SQL twin of the IVF kNN (emb_knn_ivf): the distributed
+    spherical k-means is unrolled iteration by iteration — init = the
+    n_clusters lowest-vec_id vectors (unit, rounded 6), assignment =
+    argmax of ROUND-6 cosine scores (ties -> lowest cluster), update =
+    per-cluster raw-vector mean, unit-normalized and rounded 6 (empty
+    clusters COALESCE to the previous centroid) — then the probe picks the
+    n_probe nearest centroids by rounded dot and the rounded-cosine top-10
+    reranks inside. Identical doubles on both sides by the repo's
+    round-before-compare contract (stages/ann.py:kmeans_fit)."""
+    s = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        vn AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+               FROM v),
+        dims(d) AS (SELECT unnest(range(1, {dim + 1}))),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+                 list_transform(e, x -> round(x / nrm, 6)) AS c
+          FROM vn ORDER BY vec_id LIMIT {n_clusters}
+        )"""
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        s += f""",
+        a{i} AS (
+          SELECT vec_id, cl FROM (
+            SELECT vn.vec_id, p.cl,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY round(list_inner_product(vn.e, p.c)
+                                    / vn.nrm, 6) DESC, p.cl) AS rn
+            FROM vn, {prev} p) t WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT a.cl, d.d, avg(vn.e[d.d]) AS mu
+          FROM a{i} a JOIN vn USING (vec_id), dims d
+          GROUP BY a.cl, d.d
+        ),
+        mc{i} AS (SELECT cl, list(mu ORDER BY d) AS m
+                  FROM m{i} GROUP BY cl),
+        c{i} AS (
+          SELECT p.cl,
+                 COALESCE((SELECT list_transform(m, x ->
+                             round(x / sqrt(list_inner_product(m, m)), 6))
+                           FROM mc{i} WHERE mc{i}.cl = p.cl), p.c) AS c
+          FROM {prev} p
+        )"""
+        prev = f"c{i}"
+    s += f""",
+        q AS (SELECT list_transform(e, x -> x / nrm) AS qe
+              FROM vn WHERE vec_id = 0),
+        probe AS (
+          SELECT cl FROM (
+            SELECT p.cl, round(list_inner_product(p.c, q.qe), 6) AS s
+            FROM {prev} p, q) t
+          ORDER BY s DESC, cl LIMIT {n_probe}
+        ),
+        fin AS (
+          SELECT vec_id, cl FROM (
+            SELECT vn.vec_id, p.cl,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY round(list_inner_product(vn.e, p.c)
+                                    / vn.nrm, 6) DESC, p.cl) AS rn
+            FROM vn, {prev} p) t WHERE rn = 1
+        )
+        SELECT vn.vec_id,
+               round(list_inner_product(vn.e, q.qe) / vn.nrm, 6) AS cosine
+        FROM vn JOIN fin USING (vec_id), q
+        WHERE fin.cl IN (SELECT cl FROM probe)
+        ORDER BY cosine DESC, vn.vec_id LIMIT 10
+    """
+    return s
+
+
 def _knn_lsh_sql() -> str:
     """EXACT SQL twin of the LSH-bucketed kNN (emb_knn_lsh /
     emb_knn_lsh_indexed): the seed-fixed hyperplane constants are embedded
@@ -1170,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
         # return identical rows by construction, so they share the twin.
         "emb_knn_lsh": _knn_lsh_sql(),
         "emb_knn_lsh_indexed": _knn_lsh_sql(),
+        # IVF kNN twin: the k-means iterations unrolled in generated SQL
+        # (_knn_ivf_sql) under the kernel's round-each-round contract.
+        "emb_knn_ivf": _knn_ivf_sql(),
         # All-pairs kNN-graph twin: row_number window over the full cosine
         # cross product, identical (cosine desc, dst_id asc) tie rule.
         "emb_knn_graph": """

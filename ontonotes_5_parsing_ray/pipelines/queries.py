@@ -2187,8 +2187,10 @@ def emb_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """Top-k through the IVF index (distributed k-means coarse quantizer +
     cluster-partitioned corpus): the query probes its 4 nearest of 16
     clusters — the classic inverted-file ANN layout next to the LSH one.
-    Rows-only at the driver (approximate by construction); recall and the
-    full-probe==exact degeneracy are pinned in tests/test_ann.py."""
+    Oracle-checkable since r5: the k-means rounds centroids to 6 decimals
+    each update and rounds assignment scores before the argmax, so a
+    generated SQL twin unrolls the Lloyd iterations exactly; recall and
+    the full-probe==exact degeneracy remain pinned in tests/test_ann.py."""
     from ..stages.ann import knn_ivf_indexed
 
     idx_dir = _ensure_ivf_index(sf_dir)
@@ -2206,7 +2208,7 @@ def _ensure_ivf_index(sf_dir: str, n_clusters: int = 16) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/onr_ivf_index/{tag}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = f"/tmp/onr_ivf_index/{tag}-{st.st_size}-{int(st.st_mtime)}-r6"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
         tmp_dir = f"{idx_dir}.build-{os.getpid()}"  # per-process scratch
         if os.path.isdir(tmp_dir):

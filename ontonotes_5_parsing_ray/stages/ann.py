@@ -383,6 +383,12 @@ def kmeans_fit(
     O(k x dim x blocks). Deterministic: init = the k lowest-vec_id vectors
     (selected with the same partial-top-k pattern as knn), ties impossible
     (vec_id unique); empty clusters keep their previous centroid.
+
+    SQL-replayable contract (what makes ``emb_knn_ivf`` oracle-checkable):
+    centroid components are rounded to 6 decimals after every update and
+    assignment scores are rounded to 6 before the argmax (ties -> lowest
+    cluster index) — both sides of the comparison then compute identical
+    doubles, the repo's established round-before-compare trick.
     """
 
     def init_partial(batch: pa.Table) -> pa.Table:
@@ -396,7 +402,8 @@ def kmeans_fit(
     seed_df = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         init_partial, batch_format="pyarrow"
     ).to_pandas().sort_values("vec_id").head(n_clusters)
-    cents = _unit(np.asarray(seed_df["embedding"].tolist(), dtype=np.float64))
+    cents = round_half_away(
+        _unit(np.asarray(seed_df["embedding"].tolist(), dtype=np.float64)), 6)
 
     for _ in range(n_iter):
         c_ref = ray.put(cents)
@@ -405,7 +412,8 @@ def kmeans_fit(
             c = ray.get(c_ref)
             vecs = np.asarray(batch.column("embedding").to_pylist(),
                               dtype=np.float64)
-            assign = np.argmax(_unit(vecs) @ c.T, axis=1)
+            assign = np.argmax(
+                round_half_away(_unit(vecs) @ c.T, 6), axis=1)
             out_c, out_sum, out_n = [], [], []
             for ci in np.unique(assign):
                 mask = assign == ci
@@ -426,8 +434,12 @@ def kmeans_fit(
             total = np.sum(np.asarray(group["vec_sum"].tolist()), axis=0)
             n = group["n"].sum()
             if n:
-                new_cents[int(ci)] = total / n
-        cents = _unit(new_cents)
+                # normalize + round PER UPDATED ROW: empty clusters keep
+                # their previous (already rounded) centroid byte-for-byte,
+                # matching the SQL twin's COALESCE
+                new_cents[int(ci)] = round_half_away(
+                    _unit((total / n).reshape(1, -1)).ravel(), 6)
+        cents = new_cents
     return cents
 
 
@@ -451,7 +463,8 @@ def build_ivf_index(
     def add_cluster(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        assign = np.argmax(_unit(vecs) @ c.T, axis=1).astype(np.int32)
+        assign = np.argmax(
+            round_half_away(_unit(vecs) @ c.T, 6), axis=1).astype(np.int32)
         return batch.append_column("cluster", pa.array(assign, pa.int32()))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -481,7 +494,9 @@ def knn_ivf_indexed(
         meta = _json.load(fh)
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))
-    order = np.argsort(-(cents @ q.ravel()))[:n_probe]
+    probe_scores = round_half_away(cents @ q.ravel(), 6)
+    order = np.lexsort(
+        (np.arange(len(cents)), -probe_scores))[:n_probe]
     files = [
         os.path.join(d, f)
         for ci in sorted(int(c) for c in order)

@@ -131,7 +131,7 @@ def test_every_query_has_an_oracle_or_rationale():
     assert all(
         n.startswith(("kg_", "docs_langid", "docs_fingerprints",
                       "docs_simhash", "docs_bpe",
-                      "media_", "emb_knn_ivf", "emb_near_dup",
+                      "media_",
                       "docs_cms"))  # CMS: candidate union is batch-dependent
         for n in rows_only
     ), rows_only
