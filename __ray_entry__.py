@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         # (a) new round-5 queries — inserted here as they land
         "events_user_quantiles": q.events_user_quantiles,
+        "events_value_rank": q.events_value_rank,
         # (b) never driver-checked (added mid-round-4, after the r3 run)
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -1554,6 +1555,16 @@ def oracle_sql() -> dict[str, str]:
                    round(median(value), 6) AS median_value
             FROM events GROUP BY event_type
             ORDER BY event_type
+        """,
+        # Global total-order row_number (native range-partitioned sort +
+        # metadata-prefix-sum rank attachment; ties broken by event_id on
+        # both sides).
+        "events_value_rank": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY value DESC, event_id)
+                       AS value_rank
+            FROM events
+            ORDER BY value_rank
         """,
         # Dataset-returning per-user quantiles (grouped_quantiles_ds — the
         # result itself is O(keys) and never lands on the driver).

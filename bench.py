@@ -110,6 +110,10 @@ def run_bench() -> dict:
         ("events_cohort_retention", q.events_cohort_retention),
         ("customer_name_typos",
          lambda d: q.customer_name_typos(d).count()),
+        # round-5 operators
+        ("events_user_quantiles",
+         lambda d: q.events_user_quantiles(d).count()),
+        ("events_value_rank", lambda d: q.events_value_rank(d).count()),
     ]:
         t1 = time.time()
         fn(sf_dir)

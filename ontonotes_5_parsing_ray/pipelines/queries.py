@@ -656,6 +656,22 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_rank(sf_dir: str) -> rd.Dataset:
+    """Global ORDER BY + row_number over the whole event stream (rank of
+    every event by value, ties broken by event_id) — the total-order
+    operator: one native range-partitioned sort, then per-block rank
+    attachment from metadata prefix sums (`relational.global_row_number`;
+    no second shuffle, nothing row-sized on the driver). Stays a Dataset:
+    the result is corpus-sized. Oracle = SQL row_number() itself."""
+    from ..stages.relational import global_row_number
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    return global_row_number(
+        ev, by=["value", "event_id"], ascending=[False, True],
+        out_col="value_rank", keep_cols=["event_id"],
+    ).select_columns(["event_id", "value_rank"])
+
+
 def events_user_quantiles(sf_dir: str) -> rd.Dataset:
     """Per-USER exact interpolated quantiles via the Dataset-returning
     surface (`relational.grouped_quantiles_ds`): user ids are O(rows) at

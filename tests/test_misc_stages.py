@@ -1439,3 +1439,35 @@ def test_grouped_quantiles_ds_matches_pandas_variant(ray_session):
     pd.testing.assert_frame_equal(
         got, want.sort_values("k").reset_index(drop=True),
         check_exact=False, rtol=0, atol=1e-12)
+
+
+def test_global_row_number_matches_pandas(ray_session):
+    """global_row_number == pandas total-order ranking on a multi-block
+    dataset with heavy value ties (tie-breaker column makes the order
+    total); ranks are 1-based, each block's offset comes from metadata."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.stages.relational import global_row_number
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "id": np.arange(5000, dtype=np.int64),
+        "v": rng.randint(0, 50, 5000).astype(np.float64),  # heavy ties
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(16)
+    got = global_row_number(ds, by=["v", "id"], ascending=[False, True],
+                            out_col="rk").to_pandas()
+    want = df.sort_values(["v", "id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    want["rk"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    got = got.sort_values("rk").reset_index(drop=True)
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+    assert (got["rk"].to_numpy() == want["rk"].to_numpy()).all()
+    # empty input passes through
+    empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                    "v": pa.array([], pa.float64())}))
+    assert global_row_number(empty, by=["v", "id"]).count() == 0
