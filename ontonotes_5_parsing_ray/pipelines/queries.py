@@ -179,7 +179,8 @@ def q3_top_orders(sf_dir: str,
             .head(10).reset_index(drop=True)[["l_orderkey", "revenue"]])
 
 
-def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+def q5_nation_revenue(sf_dir: str,
+                      broadcast_key_limit: int = 5_000_000) -> pd.DataFrame:
     """Revenue by customer nation. The dimension chain region<-nation<-
     customer is prejoined on the driver (dimensions only) and broadcast to
     the streaming orders scan; orders ⋈ lineitem is a distributed hash join
@@ -189,6 +190,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     cust = _read_pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
               .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    import ray
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     ords = broadcast_join(
         orders,
@@ -201,12 +204,35 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = hash_join(li, ords, on=["l_orderkey"])
 
-    def rev(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
-        return batch[["n_name", "revenue"]]
+    # size-routed (same rule as q3): while the ORDERS row count (parquet
+    # metadata) is broadcast-sized, the orderkey -> n_name map ships once
+    # via ray.put and lineitem attaches it map-side — zero join shuffles
+    # ahead of a 25-key aggregate; above the limit, the distributed join
+    if _table_row_count(sf_dir, "orders") <= broadcast_key_limit:
+        map_ref = ray.put(ords.to_pandas().set_index("l_orderkey")["n_name"])
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(map_ref)
+            out = pd.DataFrame({
+                "n_name": m.reindex(batch["l_orderkey"]).to_numpy(),
+                "revenue": (batch["l_extendedprice"].to_numpy()
+                            * (1.0 - batch["l_discount"].to_numpy())),
+            })
+            return out[~pd.isna(out["n_name"])]
+
+        joined = li.map_batches(attach, batch_format="pandas")
+
+        def rev(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch
+    else:
+        joined = hash_join(li, ords, on=["l_orderkey"])
+
+        def rev(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["revenue"] = (batch["l_extendedprice"]
+                                * (1.0 - batch["l_discount"]))
+            return batch[["n_name", "revenue"]]
 
     agg = preagg_groupby(
         joined.map_batches(rev, batch_format="pandas"),
@@ -216,7 +242,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("n_name").reset_index(drop=True)
 
 
-def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+def q10_returned_revenue(sf_dir: str,
+                         broadcast_key_limit: int = 5_000_000) -> pd.DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returned
     items. Fact side: lineitem filtered to returns at the scan ⋈ orders
     (distributed hash join), pre-aggregated to one row per customer BEFORE
@@ -234,13 +261,33 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         s["revenue"] = s["l_extendedprice"] * (1.0 - s["l_discount"])
         return to_arrow(s[["l_orderkey", "revenue"]])
 
-    joined = hash_join(
-        li.map_batches(returns_only, batch_format="pandas"),
-        orders.map_batches(
-            lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-            batch_format="pyarrow"),
-        on=["l_orderkey"],
-    )
+    returns = li.map_batches(returns_only, batch_format="pandas")
+    if _table_row_count(sf_dir, "orders") <= broadcast_key_limit:
+        # size-routed (same rule as q3/q5): broadcast orderkey -> custkey
+        # once, attach map-side, skip the join shuffle entirely
+        import ray
+
+        m_ref = ray.put(
+            orders.to_pandas().set_index("o_orderkey")["o_custkey"])
+
+        def attach_cust(b: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(m_ref)
+            out = pd.DataFrame({
+                "o_custkey": m.reindex(b["l_orderkey"]).to_numpy(),
+                "revenue": b["revenue"].to_numpy(),
+            })
+            return out[~pd.isna(out["o_custkey"])].astype(
+                {"o_custkey": "int64"})
+
+        joined = returns.map_batches(attach_cust, batch_format="pandas")
+    else:
+        joined = hash_join(
+            returns,
+            orders.map_batches(
+                lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+                batch_format="pyarrow"),
+            on=["l_orderkey"],
+        )
     per_cust = preagg_groupby(joined, ["o_custkey"],
                               {"revenue": ("revenue", "sum")})
     per_cust["revenue"] = round_half_away(

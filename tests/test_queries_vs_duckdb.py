@@ -135,3 +135,16 @@ def test_every_query_has_an_oracle_or_rationale():
                       "docs_cms"))  # CMS: candidate union is batch-dependent
         for n in rows_only
     ), rows_only
+
+
+def test_size_routed_fact_joins_route_parity(ray_session):
+    """q3/q5/q10's broadcast-key fast path == the forced distributed-join
+    route (broadcast_key_limit=0), row for row."""
+    from tests.conftest import SF_DIR
+
+    from ontonotes_5_parsing_ray.pipelines import queries as q
+
+    for fn in (q.q3_top_orders, q.q5_nation_revenue, q.q10_returned_revenue):
+        a = fn(SF_DIR).reset_index(drop=True)
+        b = fn(SF_DIR, broadcast_key_limit=0).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
