@@ -208,7 +208,10 @@ def q5_nation_revenue(sf_dir: str,
     # size-routed (same rule as q3): while the ORDERS row count (parquet
     # metadata) is broadcast-sized, the orderkey -> n_name map ships once
     # via ray.put and lineitem attaches it map-side — zero join shuffles
-    # ahead of a 25-key aggregate; above the limit, the distributed join
+    # ahead of a 25-key aggregate; above the limit, the distributed join.
+    # (Budget note: a pickled pandas map deserializes PER WORKER — 5M
+    # string entries ~ a few hundred MB per worker, the practical ceiling
+    # for this route; the join route has no such bound.)
     if _table_row_count(sf_dir, "orders") <= broadcast_key_limit:
         map_ref = ray.put(ords.to_pandas().set_index("l_orderkey")["n_name"])
 
