@@ -115,7 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tag_reduce": kq.kg_tag_reduce,
         # (d) fully verified in round 4 (CORRECTNESS_r04: 48 MATCH +
         #     events_hll_users_by_type / docs_cms_top_terms no_oracle;
-        #     the HLL entry gained a full md5-register SQL twin in round 5)
+        #     both gained full SQL twins in round 5 — md5 registers / the
+        #     batch-independent two-pass CMS)
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_orders": q.q3_top_orders,
         "q5_nation_revenue": q.q5_nation_revenue,
@@ -1135,6 +1136,32 @@ def oracle_sql() -> dict[str, str]:
                                         *4096*4096/denom END) AS BIGINT)
                        AS n_users_approx
             FROM agg ORDER BY event_type
+        """,
+        # CMS heavy-hitter twin: DuckDB rebuilds every (row, bucket)
+        # counter from EXACT token counts with the same md5 row hashes
+        # (md5_number_upper(d || ':' || token) % 16384) and replays the
+        # min-over-rows estimates and the total//50 support threshold —
+        # possible since round 5's batch-independent two-pass semantics.
+        "docs_cms_top_terms": """
+            WITH t AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            tc AS (SELECT tok, count(*)::BIGINT AS n FROM t GROUP BY tok),
+            tot AS (SELECT sum(n)::BIGINT AS total FROM tc),
+            tb AS (SELECT tok, n, d,
+                          (md5_number_upper(d::VARCHAR || ':' || tok)
+                           % 16384)::BIGINT AS b
+                   FROM tc, range(0, 4) r(d)),
+            bc AS (SELECT d, b, sum(n)::BIGINT AS cnt
+                   FROM tb GROUP BY d, b),
+            est AS (SELECT tb.tok, min(bc.cnt)::BIGINT AS n_est
+                    FROM tb JOIN bc USING (d, b) GROUP BY tb.tok)
+            SELECT tok AS token, n_est
+            FROM est, tot
+            WHERE n_est >= total // 50
+            ORDER BY n_est DESC, token LIMIT 20
         """,
         # Bloom-prefilter composition twin: plain IN — the bloom stage is
         # a superset prefilter whose exact verify restores IN semantics.

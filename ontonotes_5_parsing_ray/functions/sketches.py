@@ -172,11 +172,26 @@ def _cms_idx(values) -> np.ndarray:
     ])
 
 
-def cms_add(cms: np.ndarray, values, counts=None) -> np.ndarray:
+def _cms_idx_md5(values) -> np.ndarray:
+    """(D, n) counter indices from md5 row hashes — the SQL-replayable
+    variant (DuckDB: ``md5_number_upper(d || ':' || token) % W``). Per-row
+    md5 loops over DISTINCT values only — callers pre-count."""
+    from .hashing import token_hash64_md5
+
+    arr = np.asarray(values, dtype=object)
+    return np.stack([
+        np.fromiter((token_hash64_md5(f"{d}:{v}") % CMS_W for v in arr),
+                    dtype=np.int64, count=len(arr))
+        for d in range(CMS_D)
+    ])
+
+
+def cms_add(cms: np.ndarray, values, counts=None,
+            md5: bool = False) -> np.ndarray:
     """Fold values (optionally pre-counted) into the sketch in place."""
     if len(values) == 0:
         return cms
-    idx = _cms_idx(values)
+    idx = _cms_idx_md5(values) if md5 else _cms_idx(values)
     c = (np.ones(len(idx[0]), dtype=np.int64) if counts is None
          else np.asarray(counts, dtype=np.int64))
     for d in range(CMS_D):
@@ -188,10 +203,10 @@ def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a + b
 
 
-def cms_query(cms: np.ndarray, values) -> np.ndarray:
+def cms_query(cms: np.ndarray, values, md5: bool = False) -> np.ndarray:
     """Estimated counts (never below the true count)."""
     if len(values) == 0:
         return np.zeros(0, dtype=np.int64)
-    idx = _cms_idx(values)
+    idx = _cms_idx_md5(values) if md5 else _cms_idx(values)
     return np.min(
         np.stack([cms[d][idx[d]] for d in range(CMS_D)]), axis=0)

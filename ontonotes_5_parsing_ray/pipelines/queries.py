@@ -2416,15 +2416,22 @@ def docs_top_terms(sf_dir: str) -> pd.DataFrame:
     return top[["token", "n"]].reset_index(drop=True)
 
 
-def docs_cms_top_terms(sf_dir: str) -> pd.DataFrame:
-    """Approximate heavy hitters via a Count-Min sketch: each batch emits
-    ONE fixed-size (512 KB) counter matrix plus its local top-40 candidate
-    tokens; sketches merge by elementwise sum on the driver and the
-    candidate union is ranked by estimated count. The combine moves
-    sketches, not the vocabulary — the sub-linear alternative to the exact
-    `docs_top_terms` (no SQL twin: one-sided approximate; the pytest gate
-    asserts the exact top-20 set is recovered and estimates never
-    undercount)."""
+def docs_cms_top_terms(sf_dir: str,
+                       support_divisor: int = 50) -> pd.DataFrame:
+    """Approximate heavy hitters via a Count-Min sketch, TWO streaming
+    passes: (1) each batch folds its pre-counted tokens into one
+    fixed-size (512 KB) counter matrix — sketches merge by elementwise
+    sum on the driver, so the combine moves sketches, never the
+    vocabulary; (2) the merged sketch broadcasts once (``ray.put``) and
+    each batch emits only its distinct tokens whose estimate clears the
+    support threshold ``total_tokens // support_divisor``. Top 20 by
+    (estimate desc, token). Batch-INDEPENDENT by construction (round-4
+    shipped per-batch top-40 candidate tracking, whose union depended on
+    batching) and therefore exactly SQL-replayable: the md5 row hashes
+    (`sketches._cms_idx_md5`) let DuckDB rebuild every counter from exact
+    token counts and replay the min-over-rows estimates. Estimates never
+    undercount (one-sided CMS error); the pytest gate additionally pins
+    exact-top-20 recovery."""
     from ..functions.sketches import cms_add, cms_merge, cms_new, cms_query
     from ..stages.relational import to_arrow
 
@@ -2434,30 +2441,43 @@ def docs_cms_top_terms(sf_dir: str) -> pd.DataFrame:
         counts = (batch["text"].str.strip().str.split()
                   .explode().value_counts())
         cms = cms_add(cms_new(), counts.index.to_numpy(dtype=object),
-                      counts.to_numpy())
-        cand = counts.head(40)
+                      counts.to_numpy(), md5=True)
         return pa.table({
             "cms": pa.array([cms.tobytes()], pa.binary()),
-            "cands": pa.array(
-                [list(cand.index.astype(str))],
-                pa.list_(pa.string())),
+            "total": pa.array([int(counts.sum())], pa.int64()),
         })
 
     merged = cms_new()
-    cands: set = set()
+    total = 0
     for blk in docs.map_batches(
             sketch_partials, batch_format="pandas").iter_batches(
             batch_format="pandas"):
-        for blob, cl in zip(blk["cms"], blk["cands"]):
+        for blob, t in zip(blk["cms"], blk["total"]):
             merged = cms_merge(
                 merged, np.frombuffer(blob, dtype=np.int64)
                 .reshape(merged.shape))
-            cands.update(cl)
-    cand_arr = np.array(sorted(cands), dtype=object)
-    est = cms_query(merged, cand_arr)
-    out = pd.DataFrame({"token": cand_arr.astype(str), "n_est": est}) \
-        .sort_values(["n_est", "token"], ascending=[False, True],
-                     kind="mergesort").head(20)
+            total += int(t)
+    import ray
+
+    tau = total // support_divisor
+    cms_ref = ray.put(merged)
+
+    def heavy_candidates(batch: pd.DataFrame) -> pa.Table:
+        toks = (batch["text"].str.strip().str.split()
+                .explode().dropna().unique())
+        est = cms_query(ray.get(cms_ref), toks, md5=True)
+        keep = est >= tau
+        return pa.table({
+            "token": pa.array(toks[keep].astype(str), pa.string()),
+            "n_est": pa.array(est[keep], pa.int64()),
+        })
+
+    # vocabulary-bounded above tau: drop cross-batch duplicate tokens
+    # (each carries the identical deterministic estimate) on the driver
+    out = (docs.map_batches(heavy_candidates, batch_format="pandas")
+           .to_pandas().drop_duplicates("token")
+           .sort_values(["n_est", "token"], ascending=[False, True],
+                        kind="mergesort").head(20))
     out["n_est"] = out["n_est"].astype(np.int64)
     return out.reset_index(drop=True)
 

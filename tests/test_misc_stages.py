@@ -1249,8 +1249,9 @@ def test_range_window_sum_matches_bruteforce(ray_session):
 
 
 def test_cms_top_terms_recovers_exact(ray_session):
-    """docs_cms_top_terms recovers the exact top-20 token set with
-    one-sided (never-under) estimates — the rows-only rationale."""
+    """docs_cms_top_terms (two-pass threshold semantics) recovers the
+    exact top-20 token set with one-sided (never-under) estimates, and is
+    BATCH-INDEPENDENT: a single-block corpus yields the identical rows."""
     from tests.conftest import SF_DIR
 
     from ontonotes_5_parsing_ray.pipelines.queries import (

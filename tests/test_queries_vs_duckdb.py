@@ -68,6 +68,12 @@ SQL_PAIRED = [
     # round-4 (cont.): per-source KL domain-drift scoring, cohort retention
     "docs_source_kl", "events_cohort_retention", "events_funnel_3step",
     "events_value_winsorized",
+    # round-5: Dataset-returning grouped quantiles, global row_number,
+    # and the sketch/ANN oracle flips (md5 HLL registers, embedded-plane
+    # LSH, round-each-round IVF k-means, two-pass threshold CMS)
+    "events_user_quantiles", "events_value_rank",
+    "events_hll_users_by_type", "docs_cms_top_terms",
+    "emb_knn_lsh", "emb_knn_lsh_indexed", "emb_knn_ivf",
 ]
 
 
@@ -128,13 +134,9 @@ def test_every_query_has_an_oracle_or_rationale():
     assert sqls <= qs
     # non-SQL queries are exactly the heuristic/hash/KG/model-shaped ones
     rows_only = qs - sqls
-    assert all(
-        n.startswith(("kg_", "docs_langid", "docs_fingerprints",
-                      "docs_simhash", "docs_bpe",
-                      "media_",
-                      "docs_cms"))  # CMS: candidate union is batch-dependent
-        for n in rows_only
-    ), rows_only
+    # since round 5 every non-KG query has a full SQL twin; the KG
+    # pipeline is non-SQL by nature (P/R=1.0 pytest gate instead)
+    assert all(n.startswith("kg_") for n in rows_only), rows_only
 
 
 def test_size_routed_fact_joins_route_parity(ray_session):
