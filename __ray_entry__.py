@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) new round-5 queries — inserted here as they land
         "events_user_quantiles": q.events_user_quantiles,
         "events_value_rank": q.events_value_rank,
+        "media_exact_dedup": kq.media_exact_dedup,
         # (b) never driver-checked (added mid-round-4, after the r3 run)
         "docs_source_entropy": q.docs_source_entropy,
         "docs_source_kl": q.docs_source_kl,
@@ -2006,6 +2007,15 @@ def oracle_sql() -> dict[str, str]:
         # the SAME persisted parquet the Ray query reads: hex(payload)
         # yields each byte, the 8-bin histogram ratio matches the
         # round-half-away fake decode exactly.
+        # Binary-content exact dedup over the persisted media parquet —
+        # the content key is md5(hex(payload)) on both sides.
+        "media_exact_dedup": f"""
+            SELECT md5(hex(payload)) AS content_md5,
+                   count(*)::BIGINT AS n_copies,
+                   min(media_id)::BIGINT AS keeper_id
+            FROM read_parquet('{_media_path()}')
+            GROUP BY 1 ORDER BY 1
+        """,
         "media_features": f"""
             WITH m AS (
                 SELECT media_id, kind, width, height, sample_rate,

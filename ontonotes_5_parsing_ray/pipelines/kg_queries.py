@@ -96,6 +96,44 @@ def kg_tag_reduce(sf_dir: str) -> pd.DataFrame:
     return tag_frequencies_by_kind(reduced)
 
 
+def media_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact content dedup over the BINARY media column: duplicate groups
+    by payload md5 (the synthetic table plants byte-identical re-uploads),
+    keeper = lowest media_id. The content key is ``md5(hex(payload))`` on
+    both sides — DuckDB's md5 only takes VARCHAR, so the Ray side hashes
+    the identical uppercase-hex rendering. The multimodal x dedup
+    crossover: at 100 TB the payload never leaves its scan (only 16-byte
+    keys shuffle)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.multimodal import media_table_path
+    from ..stages.relational import preagg_groupby
+
+    media = rd.read_parquet(media_table_path(),
+                            columns=["media_id", "payload"])
+
+    def content_keys(batch: pd.DataFrame) -> pa.Table:
+        keys = [hashlib.md5(p.hex().upper().encode()).hexdigest()
+                for p in batch["payload"]]
+        return pa.table({
+            "content_md5": pa.array(keys, pa.string()),
+            "media_id": pa.array(batch["media_id"].to_numpy(), pa.int64()),
+        })
+
+    agg = preagg_groupby(
+        media.map_batches(content_keys, batch_format="pandas"),
+        ["content_md5"],
+        {"n_copies": ("media_id", "count"),
+         "keeper_id": ("media_id", "min")},
+    )
+    agg["n_copies"] = agg["n_copies"].astype("int64")
+    agg["keeper_id"] = agg["keeper_id"].astype("int64")
+    return agg.sort_values("content_md5").reset_index(drop=True)
+
+
 def media_frames(sf_dir: str) -> pd.DataFrame:
     """Frame-sampling stage over the PERSISTED deterministic media parquet
     (flat-map fan-out: one row per sampled video frame; image/audio rows

@@ -44,7 +44,10 @@ def media_table_path(n: int = 96, seed: int = 23) -> str:
 
     import pyarrow.parquet as pq
 
-    path = f"/tmp/onr_media/media_{n}_{seed}.parquet"
+    # v2: the synthetic table now plants exact payload duplicates (the
+    # media_exact_dedup signal); new filename so a stale v1 file from an
+    # earlier round can never be read against v2 oracles
+    path = f"/tmp/onr_media/media_{n}_{seed}_v2.parquet"
     if not os.path.isfile(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.{os.getpid()}.tmp"
@@ -61,7 +64,12 @@ def synthesize_media_table(n: int = 64, seed: int = 23) -> pa.Table:
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(256 + int(rng.randint(0, 1024)))
+        if i % 9 == 8:
+            # plant exact content duplicates (re-encoded uploads): every
+            # ninth row reuses an earlier payload byte-for-byte
+            payload = rows["payload"][i - 4]
+        else:
+            payload = rng.bytes(256 + int(rng.randint(0, 1024)))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)

@@ -74,6 +74,9 @@ SQL_PAIRED = [
     "events_user_quantiles", "events_value_rank",
     "events_hll_users_by_type", "docs_cms_top_terms",
     "emb_knn_lsh", "emb_knn_lsh_indexed", "emb_knn_ivf",
+    # round-5: binary-content dedup + the persisted-media twins join the
+    # pytest mirror (they were driver-only before)
+    "media_exact_dedup", "media_features", "media_frames",
 ]
 
 
