@@ -256,8 +256,8 @@ def _knn_lsh_sql() -> str:
 
     planes = HyperplaneBuckets(64, n_planes=6, seed=7).planes
     vals = ",".join(
-        f"({p}, [{','.join(repr(x) for x in planes[p])}]::DOUBLE[])"
-        for p in range(6))
+        f"({p}, [{','.join(repr(float(x)) for x in planes[p])}]::DOUBLE[])"
+        for p in range(6))   # float(): numpy>=2 repr says np.float64(...)
     return f"""
         WITH planes(p, w) AS (VALUES {vals}),
         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -141,11 +141,17 @@ def q3_top_orders(sf_dir: str,
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     if _table_row_count(sf_dir, "orders") <= broadcast_key_limit:
-        keys_ref = ray.put(
-            set(orders_f.to_pandas()["l_orderkey"].tolist()))
+        # sorted int64 array + np.isin: zero-copy from the object store
+        # per worker and C-speed membership, vs. a pickled Python set
+        # whose object hashing re-runs per batch
+        keys_ref = ray.put(np.sort(
+            orders_f.to_pandas()["l_orderkey"].to_numpy(np.int64)))
 
         def filter_and_revenue(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[batch["l_orderkey"].isin(ray.get(keys_ref))].copy()
+            keys = ray.get(keys_ref)
+            mask = np.isin(batch["l_orderkey"].to_numpy(np.int64), keys,
+                           assume_unique=False)
+            b = batch[mask].copy()
             b["revenue"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
             return b[["l_orderkey", "revenue"]]
 
@@ -2158,7 +2164,7 @@ def _ensure_lsh_index(sf_dir: str, n_planes: int = 6) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}-f64"
+    idx_dir = f"/tmp/onr_lsh_index/{tag}-{st.st_size}-{int(st.st_mtime)}-f64b"
     if not os.path.isfile(os.path.join(idx_dir, "_META")):
         # per-process scratch: concurrent builders (parallel bench/test
         # runs on one sf tag) cannot rmtree each other's in-progress build

@@ -290,16 +290,20 @@ def build_lsh_index(
     import json as _json
     import os
 
-    planes_state = {"planes": None}
+    bucketer_state: dict = {"b": None}
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
-        if (planes_state["planes"] is None
-                or planes_state["planes"].shape[1] != vecs.shape[1]):
-            planes_state["planes"] = np.random.RandomState(seed).randn(
-                n_planes, vecs.shape[1]).astype(np.float32)
-        signs = (vecs @ planes_state["planes"].T) >= 0
-        keys = ["".join("1" if b else "0" for b in row) for row in signs]
+        # ONE bucketing implementation for the whole LSH family: reuse
+        # HyperplaneBuckets so the stored index keys are float64 like the
+        # query keys and the generated SQL twin (an inline f32 copy here
+        # is what the round-5 float64 migration originally missed)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        if (bucketer_state["b"] is None
+                or bucketer_state["b"].planes.shape[1] != vecs.shape[1]):
+            bucketer_state["b"] = HyperplaneBuckets(
+                vecs.shape[1], n_planes, seed)
+        keys = bucketer_state["b"].key_of(vecs)
         return batch.append_column("bucket", pa.array(keys, pa.string()))
 
     os.makedirs(out_dir, exist_ok=True)

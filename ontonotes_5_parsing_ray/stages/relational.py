@@ -372,12 +372,25 @@ def global_row_number(
              for bundle in mat.iter_internal_ref_bundles()
              for blk, meta in bundle.blocks if meta.num_rows]
     if not pairs:
-        return mat
+        # typed empty WITH the rank column — same schema as the non-empty
+        # path, so unions / typed consumers don't break on an empty corpus
+        names = mat.schema().names if mat.schema() is not None else []
+        types = mat.schema().types if mat.schema() is not None else []
+        cols = {n: pa.array([], t if isinstance(t, pa.DataType)
+                            else pa.from_numpy_dtype(t))
+                for n, t in zip(names, types)}
+        cols[out_col] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
 
     @ray.remote
-    def _attach(block: pa.Table, start: int) -> pa.Table:
-        n = block.num_rows
-        return block.append_column(
+    def _attach(block, start: int) -> pa.Table:
+        from ray.data.block import BlockAccessor
+
+        # normalize: ray's sort preserves the input block type, so a
+        # pandas-block dataset arrives here as a DataFrame
+        tbl = BlockAccessor.for_block(block).to_arrow()
+        n = tbl.num_rows
+        return tbl.append_column(
             out_col, pa.array(np.arange(start + 1, start + n + 1,
                                         dtype=np.int64), pa.int64()))
 
@@ -643,11 +656,10 @@ def grouped_quantiles_ds(
         col_names = ["q" + format(q, "g").replace(".", "_") for q in qs]
     col_names = list(col_names)
     assert len(col_names) == len(qs)
-    aggs = {
-        "n": (value_col, "count"),
-        "mn": (value_col, "min"),
-        "mx": (value_col, "max"),
-    }
+    # counts only: the distributed route reads just "n" for big-key
+    # detection, and its offload recomputes full stats itself — min/max
+    # partials here would widen every shuffled row for no consumer
+    aggs = {"n": (value_col, "count")}
     parts = _partials_ds(
         ds.select_columns([key_col, value_col]), [key_col], aggs
     ).materialize()

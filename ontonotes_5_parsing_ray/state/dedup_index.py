@@ -86,10 +86,16 @@ def _batch_token(pass_nonce: bytes, hashes: np.ndarray,
     even when their texts are byte-identical — the non-text columns (doc
     ids) are folded in, so two aligned blocks of a boilerplate-heavy corpus
     cannot replay each other's token and double-admit (r4 ADVICE)."""
+    id_cols = [c for c in batch.columns if c != text_col]
+    if not id_cols:
+        raise ValueError(
+            "streaming_exact_dedup needs at least one non-text column "
+            "(a row id) so retry-idempotent claim tokens can tell "
+            "byte-identical text batches apart — select doc_id + text, "
+            "not text alone")
     extra = b""
-    for c in batch.columns:
-        if c != text_col:
-            extra += hash64_vec(batch[c]).tobytes()
+    for c in id_cols:
+        extra += hash64_vec(batch[c]).tobytes()
     return int.from_bytes(
         hashlib.blake2b(pass_nonce + extra + hashes.tobytes(),
                         digest_size=8).digest(), "little")

@@ -1468,7 +1468,20 @@ def test_global_row_number_matches_pandas(ray_session):
     got = got.sort_values("rk").reset_index(drop=True)
     assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
     assert (got["rk"].to_numpy() == want["rk"].to_numpy()).all()
-    # empty input passes through
+    # empty input keeps the FULL schema (rank column included)
     empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                     "v": pa.array([], pa.float64())}))
-    assert global_row_number(empty, by=["v", "id"]).count() == 0
+    eout = global_row_number(empty, by=["v", "id"], out_col="rk")
+    assert eout.count() == 0
+    assert "rk" in eout.schema().names
+
+    # pandas-block input (ray's sort preserves block type) is normalized
+    pds = rd.from_pandas(df.head(100))
+    got_pd = global_row_number(pds, by=["v", "id"],
+                               ascending=[False, True],
+                               out_col="rk").to_pandas()
+    want_pd = df.head(100).sort_values(["v", "id"],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+    assert (got_pd.sort_values("rk")["id"].to_numpy()
+            == want_pd["id"].to_numpy()).all()

@@ -127,3 +127,20 @@ def test_streaming_dedup_identical_text_blocks_admit_once(ray_session):
     assert len(kept) == 1500
     assert kept["text"].nunique() == 1500
     assert index_size(shards) == 1500
+
+
+def test_streaming_dedup_rejects_text_only_input(ray_session):
+    """A text-only dataset has no row identity for retry-stable claim
+    tokens — the operator fail-stops instead of silently double-admitting
+    aligned identical batches."""
+    import pytest
+    import ray.data as rd
+
+    from ontonotes_5_parsing_ray.state.dedup_index import (
+        create_index,
+        streaming_exact_dedup,
+    )
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(["a", "b", "a"])}))
+    with pytest.raises(Exception, match="non-text column"):
+        streaming_exact_dedup(ds, create_index(2)).count()
