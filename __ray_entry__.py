@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_3step": q.events_funnel_3step,
         "events_value_winsorized": q.events_value_winsorized,
         "events_with_first_event": q.events_with_first_event,
+        # deliberately LAST (outside the driver's 50-key window): the
+        # pytest SQL mirror covers it; window slots stay with the entries
+        # that need driver evidence most
+        "events_value_ntile": q.events_value_ntile,
     }
 
 
@@ -1593,6 +1597,15 @@ def oracle_sql() -> dict[str, str]:
                        AS value_rank
             FROM events
             ORDER BY value_rank
+        """,
+        # Exact NTILE(10) with DuckDB's remainder semantics, composed on
+        # global_row_number.
+        "events_value_ntile": """
+            SELECT event_id,
+                   ntile(10) OVER (ORDER BY value DESC, event_id)
+                       AS value_decile
+            FROM events
+            ORDER BY event_id
         """,
         # Dataset-returning per-user quantiles (grouped_quantiles_ds — the
         # result itself is O(keys) and never lands on the driver).

@@ -728,6 +728,39 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
     ).select_columns(["event_id", "value_rank"])
 
 
+def events_value_ntile(sf_dir: str, n_tiles: int = 10) -> rd.Dataset:
+    """Exact SQL NTILE(n) over the value-ranked event stream — decile
+    assignment with DuckDB's remainder semantics (the first ``total % n``
+    tiles get one extra row). Composition: `global_row_number` supplies
+    the total-order rank (one range-partitioned sort), the total row
+    count comes from the same parquet metadata the rank pass used, and
+    the tile arithmetic is one vectorized map — nothing new shuffles."""
+    from ..stages.relational import global_row_number, to_arrow
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    total = _table_row_count(sf_dir, "events")
+    base, rem = total // n_tiles, total % n_tiles
+    cut = rem * (base + 1)   # ranks <= cut live in the (base+1)-sized tiles
+
+    ranked = global_row_number(
+        ev, by=["value", "event_id"], ascending=[False, True],
+        out_col="value_rank", keep_cols=["event_id"])
+
+    def add_tile(b: pd.DataFrame) -> pa.Table:
+        r = b["value_rank"].to_numpy(np.int64)
+        tile = np.where(
+            r <= cut,
+            (r - 1) // (base + 1),
+            rem + (r - 1 - cut) // max(base, 1),
+        ) + 1
+        return to_arrow(pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "value_decile": tile.astype(np.int64),
+        }))
+
+    return ranked.map_batches(add_tile, batch_format="pandas")
+
+
 def events_user_quantiles(sf_dir: str) -> rd.Dataset:
     """Per-USER exact interpolated quantiles via the Dataset-returning
     surface (`relational.grouped_quantiles_ds`): user ids are O(rows) at

@@ -77,6 +77,7 @@ SQL_PAIRED = [
     # round-5: binary-content dedup + the persisted-media twins join the
     # pytest mirror (they were driver-only before)
     "media_exact_dedup", "media_features", "media_frames",
+    "events_value_ntile",
 ]
 
 
